@@ -1,0 +1,122 @@
+"""Typed configuration tree exposing every hard-coded constant of the reference.
+
+The reference scatters ~40 numeric constants across function bodies (SURVEY.md §5
+"Config / flag system"); here they live in one frozen dataclass tree so they are
+CLI-overridable and jit-static.  Each field cites its origin.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """ORB-style detector parameters (frame.cpp:180; ORBextractor ctor)."""
+
+    n_features: int = 2000  # frame.cpp:180
+    scale_factor: float = 1.2  # frame.cpp:180
+    n_levels: int = 6  # frame.cpp:180
+    ini_fast_threshold: int = 12  # frame.cpp:180
+    min_fast_threshold: int = 7  # frame.cpp:180
+    cell_size: int = 30  # ORBextractor.cpp:784 (grid cell width ~30 px)
+    edge_threshold: int = 19  # ORBextractor.h EDGE_THRESHOLD used for borders
+    blur_ksize: int = 13  # GaussianBlur 13x13 (ORBextractor.cpp:1092)
+    blur_sigma: float = 2.0  # ORBextractor.cpp:1092
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskConfig:
+    """Filter-mask parameters (frame.cpp:83-124)."""
+
+    bright_factor: float = 2.5  # kill pixels > 2.5 * mean (frame.cpp:86,98)
+    bright_radius: int = 6  # +-6 px box suppression (frame.cpp:86)
+    center_width: int = 10  # +-10 cols around nadir (frame.cpp:86,105)
+    side_pings: int = 150  # first/last pings removed (frame.cpp:86,108)
+    side_cols_frac: float = 0.6  # side * 0.6 = 90 left/right cols (frame.cpp:111)
+
+
+@dataclasses.dataclass(frozen=True)
+class NormalizeConfig:
+    """Image normalization (frame.cpp:57-81)."""
+
+    mean_factor: float = 2.5  # max_used = mean * 2.5 (frame.cpp:59-63)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Robust matcher parameters (FEAmatcher.cpp)."""
+
+    geo_radius: float = 8.0  # geo search radius in meters (FEAmatcher.cpp:67)
+    sift_dist_bound: float = 350.0  # L2 descriptor bound (FEAmatcher.cpp:108)
+    ratio_test: float = 0.35  # first/second NN ratio (FEAmatcher.cpp:110)
+    scc_max_iters: int = 1000  # RANSAC hypotheses (FEAmatcher.cpp:189)
+    scc_samples: int = 2  # samples per hypothesis (FEAmatcher.cpp:189)
+    scc_pix_error: float = 2.5  # inlier tolerance in pings (FEAmatcher.cpp:190)
+    consistency_thres: float = 2.5  # cross-direction model gap (FEAmatcher.cpp:329)
+    rng_seed: int = 1  # cv::setRNGSeed(1) (FEAmatcher.cpp:60)
+
+
+@dataclasses.dataclass(frozen=True)
+class KeypointNoiseConfig:
+    """Sonar measurement noise (optimizer.cpp:685)."""
+
+    sigma_r: float = 0.1  # range sigma (m)
+    alpha_bw_deg: float = 0.1  # beam-width angular sigma (deg), scaled by range
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopClosureConfig:
+    """Per-correspondence mini-graph solve (optimizer.cpp:641-982)."""
+
+    nadir_threshold: int = 20  # discard kps near nadir (optimizer.cpp:602)
+    compass_flip_yaw: float = 2.0 * math.pi / 3.0  # optimizer.cpp:700-703
+    prior_sigma: float = 1e-6  # source-pose prior (optimizer.cpp:773)
+    odo_sigma_ro_deg: float = 0.1  # optimizer.cpp:778
+    odo_sigma_pi_deg: float = 0.1
+    odo_sigma_ya_deg: float = 0.5
+    odo_x_scale: float = 2.0  # x sigma = 2 * |dx|
+    odo_y_scale: float = 0.1  # y sigma = |dy| / 10
+    odo_sigma_z: float = 0.1
+    quality_threshold: float = 2.0  # accept if ini/fnl dist ratio > 2 (opt.cpp:884,896)
+    max_lm_iters: int = 40
+    tria_xy_sigma: float = 10.0  # point-prior xy sigma (optimizer.cpp:1006)
+    tria_z_baseline_div: float = 100.0  # z sigma = baseline / 100 (optimizer.cpp:1005)
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphConfig:
+    """Global trajectory optimization (optimizer.cpp:21-317)."""
+
+    # odometry noise (optimizer.cpp:24-28): wgt1_=0.001, wgt_2=10
+    odo_sigma_ro_deg: float = 0.001
+    odo_sigma_pi_deg: float = 0.001
+    odo_sigma_ya_deg: float = 0.001 * 10 * 0.1  # ya1_ = 0.1*wgt1_*wgt_2 deg
+    odo_sigma_x: float = 0.01  # wgt1_*wgt_2
+    odo_sigma_y: float = 0.01
+    odo_sigma_z: float = 0.001
+    prior_sigma: float = 1e-6  # first-ping prior (optimizer.cpp:166)
+    init_noise_xyz: float = 0.5  # injected initial-value noise (optimizer.cpp:24,32)
+    init_noise_rpy_deg: float = 0.5
+    use_anno: bool = True  # USE_ANNO (optimizer.cpp:26)
+    add_loop_closures: bool = True  # ADD_LC (optimizer.cpp:26)
+    max_gn_iters: int = 30  # outer LM iterations of the batch solver
+    cg_tol: float = 1e-6
+    cg_max_iters: int = 250
+    seed: int = 0  # initial-noise PRNG seed
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    min_overlap: float = 0.4  # pair gate (diasss2.cpp:28)
+    detector: DetectorConfig = dataclasses.field(default_factory=DetectorConfig)
+    mask: MaskConfig = dataclasses.field(default_factory=MaskConfig)
+    normalize: NormalizeConfig = dataclasses.field(default_factory=NormalizeConfig)
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    kp_noise: KeypointNoiseConfig = dataclasses.field(default_factory=KeypointNoiseConfig)
+    loop_closure: LoopClosureConfig = dataclasses.field(default_factory=LoopClosureConfig)
+    pose_graph: PoseGraphConfig = dataclasses.field(default_factory=PoseGraphConfig)
+
+
+DEFAULT = PipelineConfig()

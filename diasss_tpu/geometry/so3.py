@@ -75,7 +75,13 @@ def log(R: jnp.ndarray) -> jnp.ndarray:
     """
     dtype = R.dtype
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    # Clamp strictly inside (-1, 1): arccos has an infinite derivative at +-1,
+    # which poisons forward-mode Jacobians of any residual evaluated at the
+    # identity (the common case — LM linearizes at the measurement).  The value
+    # error introduced is O(sqrt(eps)) in theta and O(eps) in the result (theta
+    # only enters through slowly-varying coefficients there).
+    eps_c = jnp.asarray(1e-7, dtype)
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + eps_c, 1.0 - eps_c)
     theta = jnp.arccos(cos_t)
     # Generic branch: w = theta/(2 sin theta) * vee(R - R^T)
     antisym = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
