@@ -1,0 +1,116 @@
+"""Command-line driver — the ``test_demo`` equivalent.
+
+Same five folder flags as the reference binary (/root/reference/src/diasss2.cpp:34-41):
+
+    python -m diasss_tpu.cli --image DIR --pose DIR --altitude DIR \\
+        --groundrange DIR --annotation DIR [--out DIR] [--cpu]
+
+plus ``--gt DIR`` (optional ground-truth folder, enables true ATE reporting) and
+``--metrics FILE`` (structured JSON metrics dump — SURVEY §5 observability row).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser("diasss_tpu", description="TPU-native SSS SLAM")
+    parser.add_argument("--image", required=True, help="folder of sss image XML files")
+    parser.add_argument("--pose", required=True, help="folder of auv pose XML files")
+    parser.add_argument("--altitude", required=True, help="folder of altitude txt files")
+    parser.add_argument("--groundrange", required=True, help="folder of ground range txt files")
+    parser.add_argument("--annotation", required=True, help="folder of annotation XML files")
+    parser.add_argument("--gt", default=None, help="optional folder of ground-truth pose txt files")
+    parser.add_argument("--out", default=None, help="output dir for trajectory dumps")
+    parser.add_argument("--metrics", default=None, help="write metrics JSON here")
+    parser.add_argument("--cpu", action="store_true", help="force the CPU platform")
+    parser.add_argument("--no-eval2", action="store_true", help="skip triangulated-consistency eval")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from .config import PipelineConfig
+    from .frame import build_keyframe
+    from .io import load_input_data
+    from .pipeline import run_slam
+
+    t0 = time.perf_counter()
+    data = load_input_data(args.image, args.pose, args.altitude, args.groundrange, args.annotation)
+    print(f"loaded {len(data.images)} survey lines ({time.perf_counter()-t0:.2f}s)")
+    for i, img in enumerate(data.images):
+        print(f"  image size: {img.shape[0]} {img.shape[1]}")
+
+    gt_rows = None
+    if args.gt:
+        import os
+
+        gt_rows = [np.loadtxt(os.path.join(args.gt, f)) for f in sorted(os.listdir(args.gt))]
+
+    t0 = time.perf_counter()
+    frames = [
+        build_keyframe(i, data.images[i], data.poses[i], data.altitudes[i],
+                       data.ground_ranges[i], data.annotations[i])
+        for i in range(len(data.images))
+    ]
+    print(f"keyframes built ({time.perf_counter()-t0:.2f}s)")
+
+    t0 = time.perf_counter()
+    result = run_slam(
+        frames,
+        PipelineConfig(),
+        gt_rows_list=gt_rows,
+        out_dir=args.out,
+        run_eval2=not args.no_eval2,
+    )
+    print(f"SLAM solved ({time.perf_counter()-t0:.2f}s)")
+
+    print(f"pairs: {result.pair_ids}; loop closures accepted: {result.n_lc_accepted}")
+    print(f"graph error: {result.solve_error0:.3e} -> {result.solve_error:.3e}")
+    if result.ate_dr is not None:
+        print(f"ATE DR/EST: {result.ate_dr:.3f} / {result.ate_est:.3f} m")
+    for key, e1 in result.eval1.items():
+        print(
+            f"Metric Statics: {e1.improved_pct:.1f} {e1.n_pairs} {key[0]} {key[1]}\n"
+            f"Avg X,Y,NORM (DR/EST): {e1.avg_x_dr:.4f}/{e1.avg_x_est:.4f} "
+            f"{e1.avg_y_dr:.4f}/{e1.avg_y_est:.4f} "
+            f"{e1.avg_norm_dr:.4f}/{e1.avg_norm_est:.4f}"
+        )
+    for key, e2 in result.eval2.items():
+        print(
+            f"Metric Statics: {e2.range_improved_pct:.1f} {e2.plane_improved_pct:.1f} "
+            f"{e2.n_pairs} {key[0]} {key[1]}\n"
+            f"Avg R and P (DR/EST): {e2.avg_range_dr:.4f}/{e2.avg_range_est:.4f} "
+            f"{e2.avg_plane_dr:.4f}/{e2.avg_plane_est:.4f}"
+        )
+
+    if args.metrics:
+        metrics = {
+            "n_frames": len(frames),
+            "pairs": [list(p) for p in result.pair_ids],
+            "n_lc_accepted": result.n_lc_accepted,
+            "solve_error0": result.solve_error0,
+            "solve_error": result.solve_error,
+            "ate_dr": result.ate_dr,
+            "ate_est": result.ate_est,
+            "eval1": {f"{k}": e._asdict() | {"ini_dists": None, "fnl_dists": None} for k, e in result.eval1.items()},
+            "eval2": {f"{k}": e._asdict() for k, e in result.eval2.items()},
+            "timings": result.timings,
+        }
+        with open(args.metrics, "w") as f:
+            json.dump(metrics, f, indent=2, default=float)
+        print(f"metrics written to {args.metrics}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,172 @@
+"""Annotation-based evaluation — the reference's quantitative metrics, batched.
+
+Implements both evaluator options of ``Optimizer::EvaluateByAnnos{,All}``
+(/root/reference/src/core/optimizer.cpp:1216-1886):
+
+* **eval_1** (landmark geo-consistency, :1383-1496 / :1764-1883): for every
+  annotated keypoint pair, the geo distance between the two projections of the
+  same landmark under DR poses vs estimated poses; reports the improved
+  fraction ("Metric Statics") and average |x| / |y| / norm distances.
+* **eval_2** (triangulated consistency, :1285-1380 / :1581-1762): triangulate
+  the landmark from both observations under DR and estimated poses; report
+  range and plane residual errors.
+
+Plus a ground-truth ATE (available for synthetic surveys — the reference's
+bundled data has no GT trajectory, SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import KeypointNoiseConfig, LoopClosureConfig
+from .geometry import se3, sonar
+
+
+class Eval1Result(NamedTuple):
+    improved_pct: float  # "Metric Statics" (optimizer.cpp:1865-1868)
+    n_pairs: int
+    avg_x_dr: float
+    avg_x_est: float
+    avg_y_dr: float
+    avg_y_est: float
+    avg_norm_dr: float
+    avg_norm_est: float
+    ini_dists: np.ndarray  # per-pair (dr_lm_dist_*.txt)
+    fnl_dists: np.ndarray  # per-pair (est_lm_dist_*.txt)
+
+
+class Eval2Result(NamedTuple):
+    range_improved_pct: float
+    plane_improved_pct: float
+    n_pairs: int
+    avg_range_dr: float
+    avg_range_est: float
+    avg_plane_dr: float
+    avg_plane_est: float
+
+
+def eval_landmark_consistency(
+    pairs: np.ndarray,  # (K, 7) valid kps-pair rows for one frame pair
+    geo_s: jnp.ndarray,
+    geo_t: jnp.ndarray,
+    gras_s: jnp.ndarray,
+    gras_t: jnp.ndarray,
+    est_s: se3.Pose3,  # (Ns,) estimated poses of the source frame
+    est_t: se3.Pose3,  # (Nt,)
+    n_bins: int,
+) -> Eval1Result:
+    """eval_1: DR geo-projection distance vs estimated-pose projection distance."""
+    if len(pairs) == 0:
+        nan = float("nan")
+        z = np.zeros(0)
+        return Eval1Result(nan, 0, nan, nan, nan, nan, nan, nan, z, z)
+
+    p = jnp.asarray(pairs)
+    id_s = p[:, 0].astype(jnp.int32)
+    bin_s = p[:, 1].astype(jnp.int32)
+    id_t = p[:, 3].astype(jnp.int32)
+    bin_t = p[:, 4].astype(jnp.int32)
+
+    g_s = geo_s[id_s, bin_s]
+    g_t = geo_t[id_t, bin_t]
+    ini_xy = g_s - g_t
+    ini = jnp.linalg.norm(ini_xy, axis=-1)
+
+    from .geometry import so3
+
+    pose_s = est_s[id_s]
+    pose_t = est_t[id_t]
+    proj_s = sonar.project_landmark_geo(pose_s.t[:, :2], so3.yaw(pose_s.R), bin_s, gras_s, n_bins)
+    proj_t = sonar.project_landmark_geo(pose_t.t[:, :2], so3.yaw(pose_t.R), bin_t, gras_t, n_bins)
+    fnl_xy = proj_s - proj_t
+    fnl = jnp.linalg.norm(fnl_xy, axis=-1)
+
+    ini_np, fnl_np = np.asarray(ini), np.asarray(fnl)
+    ini_xy_np, fnl_xy_np = np.asarray(ini_xy), np.asarray(fnl_xy)
+    n = len(ini_np)
+    return Eval1Result(
+        improved_pct=float((ini_np > fnl_np).mean() * 100.0),
+        n_pairs=n,
+        avg_x_dr=float(np.abs(ini_xy_np[:, 0]).mean()),
+        avg_x_est=float(np.abs(fnl_xy_np[:, 0]).mean()),
+        avg_y_dr=float(np.abs(ini_xy_np[:, 1]).mean()),
+        avg_y_est=float(np.abs(fnl_xy_np[:, 1]).mean()),
+        avg_norm_dr=float(ini_np.mean()),
+        avg_norm_est=float(fnl_np.mean()),
+        ini_dists=ini_np,
+        fnl_dists=fnl_np,
+    )
+
+
+def eval_triangulated_consistency(
+    pairs: np.ndarray,
+    dr_s: jnp.ndarray,
+    dr_t: jnp.ndarray,
+    geo_s: jnp.ndarray,
+    geo_t: jnp.ndarray,
+    alts_s: jnp.ndarray,
+    alts_t: jnp.ndarray,
+    est_s: se3.Pose3,
+    est_t: se3.Pose3,
+    kp_cfg: KeypointNoiseConfig = KeypointNoiseConfig(),
+    lc_cfg: LoopClosureConfig = LoopClosureConfig(),
+) -> Eval2Result:
+    """eval_2: triangulated landmark range/plane residuals, DR vs estimated."""
+    from .solvers.triangulate import triangulate_batch
+
+    if len(pairs) == 0:
+        nan = float("nan")
+        return Eval2Result(nan, nan, 0, nan, nan, nan, nan)
+
+    p = jnp.asarray(pairs)
+    id_s = p[:, 0].astype(jnp.int32)
+    bin_s = p[:, 1].astype(jnp.int32)
+    id_t = p[:, 3].astype(jnp.int32)
+    bin_t = p[:, 4].astype(jnp.int32)
+    sr_s, sr_t = p[:, 2], p[:, 5]
+    K = p.shape[0]
+
+    Tp_s_dr = se3.from_rodrigues_xyz(dr_s[id_s])
+    Tp_t_dr = se3.from_rodrigues_xyz(dr_t[id_t])
+    Ts = se3.identity((K,), p.dtype)
+
+    x_bar = 0.5 * (geo_s[id_s, bin_s, 0] + geo_t[id_t, bin_t, 0])
+    y_bar = 0.5 * (geo_s[id_s, bin_s, 1] + geo_t[id_t, bin_t, 1])
+    z_bar = 0.5 * ((dr_s[id_s, 5] - alts_s[id_s]) + (dr_t[id_t, 5] - alts_t[id_t]))
+    L0 = jnp.stack([x_bar, y_bar, z_bar], axis=-1)
+
+    def errors(Tp_s, Tp_t):
+        lm = triangulate_batch(Tp_s, Tp_t, Ts, Ts, sr_s, sr_t, L0, kp_cfg, lc_cfg, True)
+        l_s = se3.transform_to(Tp_s, lm)
+        l_t = se3.transform_to(Tp_t, lm)
+        range_e = 0.5 * (
+            jnp.abs(jnp.linalg.norm(l_s, axis=-1) - sr_s)
+            + jnp.abs(jnp.linalg.norm(l_t, axis=-1) - sr_t)
+        )
+        plane_e = 0.5 * (jnp.abs(l_s[:, 0]) + jnp.abs(l_t[:, 0]))
+        return np.asarray(range_e), np.asarray(plane_e)
+
+    r_dr, p_dr = errors(Tp_s_dr, Tp_t_dr)
+    r_est, p_est = errors(est_s[id_s], est_t[id_t])
+
+    return Eval2Result(
+        range_improved_pct=float((r_dr > r_est).mean() * 100.0),
+        plane_improved_pct=float((p_dr > p_est).mean() * 100.0),
+        n_pairs=int(K),
+        avg_range_dr=float(r_dr.mean()),
+        avg_range_est=float(r_est.mean()),
+        avg_plane_dr=float(p_dr.mean()),
+        avg_plane_est=float(p_est.mean()),
+    )
+
+
+def trajectory_ate(est: se3.Pose3, gt_rows: np.ndarray) -> float:
+    """RMSE of translation error vs ground truth (no alignment — the gauge is
+    fixed at the first pose, matching how the reference anchors its graph)."""
+    gt = se3.from_rodrigues_xyz(jnp.asarray(gt_rows, jnp.float32))
+    d = np.asarray(est.t) - np.asarray(gt.t)
+    return float(np.sqrt(np.mean(np.sum(d * d, axis=1))))

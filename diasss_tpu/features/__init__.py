@@ -1,0 +1,12 @@
+"""Feature pipeline: pyramid, FAST detection, orientation, SIFT descriptors.
+
+TPU-native reimplementation of the reference's vendored/modified ORB-SLAM2
+extractor (/root/reference/thirdparty/ORBextractor.cpp): image pyramid ->
+grid-cell FAST -> spatially-uniform keypoint selection -> intensity-centroid
+orientation -> SIFT descriptors (the reference's ORB binary path is dead code,
+ORBextractor.cpp:1097-1098).
+"""
+
+from .detector import DetectedFeatures, detect_features
+
+__all__ = ["DetectedFeatures", "detect_features"]

@@ -1,0 +1,122 @@
+"""Keyframe data model and waterfall-image preprocessing as vectorized XLA ops.
+
+Replaces the reference ``Frame`` (/root/reference/src/core/frame.cpp) whose
+constructor runs four O(N*M) pixel loops per survey line; here each step is one
+fused XLA op over the whole image (and batches over frames under vmap):
+
+* :func:`normalize_sss`    — frame.cpp:57-81   (C3)
+* :func:`filtered_mask`    — frame.cpp:83-124  (C4)
+* geo-referencing          — via :func:`diasss_tpu.geometry.sonar.geo_image` (C5)
+* feature detection        — :mod:`diasss_tpu.features` (C6/C7), filled in by
+  :func:`detect` when descriptors are needed (the annotation-driven pipeline
+  does not need them, diasss2.cpp USE_ANNO=1 path).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import MaskConfig, NormalizeConfig
+
+
+class Keyframe(NamedTuple):
+    """One survey line; device-resident tensors + host-side metadata.
+
+    Mirrors the produced items of the reference Frame (frame.h:29-47).
+    """
+
+    img_id: int  # host static
+    raw: jnp.ndarray  # (N, M) float32 raw waterfall intensities
+    norm: jnp.ndarray  # (N, M) uint8 normalized image
+    mask: jnp.ndarray  # (N, M) bool keypoint-validity mask
+    geo: jnp.ndarray  # (N, M, 2) world (x, y) per pixel
+    dr_poses: jnp.ndarray  # (N, 6) dead-reckoning rows (r, p, y, x, y, z)
+    altitudes: jnp.ndarray  # (N,)
+    ground_ranges: jnp.ndarray  # (M//2,)
+    annos: np.ndarray  # (Ka, 7) int annotation rows, host-side (may be empty)
+
+
+def normalize_sss(raw: jnp.ndarray, cfg: NormalizeConfig = NormalizeConfig()) -> jnp.ndarray:
+    """``(x - min) / (mean*2.5 - min) * 255``, clipped to 255, as uint8
+    (frame.cpp:57-81)."""
+    raw = raw.astype(jnp.float32)
+    mn = jnp.min(raw)
+    max_used = jnp.mean(raw) * cfg.mean_factor
+    out = (raw - mn) / (max_used - mn) * 255.0
+    out = jnp.clip(out, 0.0, 255.0)
+    # OpenCV convertTo(CV_8U) rounds to nearest
+    return jnp.round(out).astype(jnp.uint8)
+
+
+def filtered_mask(raw: jnp.ndarray, cfg: MaskConfig = MaskConfig()) -> jnp.ndarray:
+    """Binary keypoint-validity mask (frame.cpp:83-124), vectorized.
+
+    Four suppression rules:
+      1. bright pixels (> mean * 2.5) kill a box neighborhood around them —
+         implemented as a max-pool dilation.  The reference's box is
+         ``[i-6, i+5] x [j-6, j+5]`` with an unsigned-underflow bug near the top
+         border (frame.cpp:100-102, SURVEY §7 "quirks NOT to replicate"); we use
+         a symmetric 13x13 window and clamp at borders.
+      2. the center nadir stripe (cols within +-width of M/2),
+      3. the first/last ``side`` pings,
+      4. the left/right ``side*0.6`` columns.
+    """
+    raw = raw.astype(jnp.float32)
+    n, m = raw.shape
+    bright = raw > jnp.mean(raw) * cfg.bright_factor
+    r = cfg.bright_radius
+    dilated = jax.lax.reduce_window(
+        bright,
+        False,
+        jax.lax.bitwise_or,
+        window_dimensions=(2 * r + 1, 2 * r + 1),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+    rows = jnp.arange(n)[:, None]
+    cols = jnp.arange(m)[None, :]
+    center = (cols > m // 2 - cfg.center_width) & (cols < m // 2 + cfg.center_width)
+    turn = (rows < cfg.side_pings) | (rows > n - cfg.side_pings)
+    side_c = int(cfg.side_pings * cfg.side_cols_frac)
+    sides = (cols < side_c) | (cols > m - side_c)
+    return ~(dilated | center | turn | sides)
+
+
+def build_keyframe(
+    img_id: int,
+    raw: np.ndarray,
+    dr_poses: np.ndarray,
+    altitudes: np.ndarray,
+    ground_ranges: np.ndarray,
+    annos: Optional[np.ndarray] = None,
+    norm_cfg: NormalizeConfig = NormalizeConfig(),
+    mask_cfg: MaskConfig = MaskConfig(),
+    dtype=jnp.float32,
+) -> Keyframe:
+    """Assemble a Keyframe: upload tensors, run the preprocessing ops.
+
+    Equivalent of the reference Frame constructor (frame.cpp:18-55) minus feature
+    detection (attached separately by the feature pipeline).
+    """
+    from .geometry import sonar
+
+    raw_j = jnp.asarray(raw, dtype)
+    poses_j = jnp.asarray(dr_poses, dtype)
+    alts_j = jnp.asarray(altitudes, dtype)
+    grs_j = jnp.asarray(ground_ranges, dtype)
+    n_bins = raw.shape[1]
+    return Keyframe(
+        img_id=img_id,
+        raw=raw_j,
+        norm=normalize_sss(raw_j, norm_cfg),
+        mask=filtered_mask(raw_j, mask_cfg),
+        geo=sonar.geo_image(poses_j[:, 3:5], poses_j[:, 2], grs_j, n_bins),
+        dr_poses=poses_j,
+        altitudes=alts_j,
+        ground_ranges=grs_j,
+        annos=np.zeros((0, 7), np.int64) if annos is None else np.asarray(annos),
+    )

@@ -1,0 +1,5 @@
+"""Multi-chip scale-out: device meshes and sharded solver steps."""
+
+from .shard import make_mesh, sharded_lc_solve, sharded_pose_graph_solve
+
+__all__ = ["make_mesh", "sharded_lc_solve", "sharded_pose_graph_solve"]

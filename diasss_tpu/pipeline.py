@@ -1,0 +1,253 @@
+"""End-to-end SLAM pipeline — the ``test_demo`` equivalent (C1).
+
+Orchestrates the full reference dataflow (/root/reference/src/diasss2.cpp:25-105 +
+optimizer.cpp:21-317):
+
+  frames -> pairwise overlap gate (IoU > 0.4) -> keypoint pairs (annotations or
+  detected correspondences) -> batched loop-closure mini-solves -> quality gate ->
+  global pose-graph LM -> trajectory dumps + annotation-based evaluation.
+
+Host-side code here is orchestration only; every numeric stage is a jitted
+batched device computation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import PipelineConfig
+from .evaluate import Eval1Result, Eval2Result, eval_landmark_consistency, eval_triangulated_consistency, trajectory_ate
+from .frame import Keyframe
+from .geometry import se3, sonar
+from .pairs import KpsPairs, get_kps_pairs
+from .solvers.lc import LCResult, loop_closing_tfs
+from .solvers.pose_graph import build_chain_graph, solve_pose_graph
+
+
+@dataclasses.dataclass
+class SlamResult:
+    poses: se3.Pose3  # (P,) estimated poses, global concatenated order
+    frame_slices: List[slice]  # per-frame slices into the global pose array
+    pair_ids: List[Tuple[int, int]]
+    lc_results: Dict[Tuple[int, int], LCResult]
+    n_lc_accepted: int
+    eval1: Dict[Tuple[int, int], Eval1Result]
+    eval2: Dict[Tuple[int, int], Eval2Result]
+    ate_dr: Optional[float]
+    ate_est: Optional[float]
+    solve_error0: float
+    solve_error: float
+    timings: Dict[str, float]
+
+    def frame_poses(self, f: int) -> se3.Pose3:
+        return self.poses[self.frame_slices[f]]
+
+
+def _overlap_pairs(frames: List[Keyframe], min_overlap: float) -> List[Tuple[int, int]]:
+    """Pair gating by geo bbox IoU (diasss2.cpp:88-97)."""
+    out = []
+    for i in range(len(frames)):
+        for j in range(i + 1, len(frames)):
+            iou = float(sonar.bbox_iou_overlap(frames[i].geo, frames[j].geo))
+            if iou > min_overlap:
+                out.append((i, j))
+    return out
+
+
+def run_slam(
+    frames: List[Keyframe],
+    cfg: PipelineConfig = PipelineConfig(),
+    gt_rows_list: Optional[List[np.ndarray]] = None,
+    out_dir: Optional[str] = None,
+    run_eval2: bool = True,
+) -> SlamResult:
+    timings: Dict[str, float] = {}
+    t0 = time.perf_counter()
+
+    # --- pair gating (C9) ---
+    pair_ids = _overlap_pairs(frames, cfg.min_overlap)
+    timings["overlap_gate"] = time.perf_counter() - t0
+
+    # --- keypoint pair assembly (C10), uniform capacity across pairs ---
+    t0 = time.perf_counter()
+    use_anno = cfg.pose_graph.use_anno
+    raw_pairs: Dict[Tuple[int, int], np.ndarray] = {}
+    for (i, j) in pair_ids:
+        rows = frames[i].annos if use_anno else getattr(frames[i], "corres_kps", np.zeros((0, 6)))
+        kp = get_kps_pairs(
+            rows,
+            frames[j].img_id,
+            np.asarray(frames[i].altitudes),
+            np.asarray(frames[i].ground_ranges),
+            np.asarray(frames[j].altitudes),
+            np.asarray(frames[j].ground_ranges),
+            use_anno=use_anno,
+            nadir_threshold=cfg.loop_closure.nadir_threshold,
+            capacity=None,
+        )
+        raw_pairs[(i, j)] = kp
+    cap = 1
+    for kp in raw_pairs.values():
+        cap = max(cap, kp.pairs.shape[0])
+    kps_pairs: Dict[Tuple[int, int], KpsPairs] = {}
+    for key, kp in raw_pairs.items():
+        padded = np.zeros((cap, 7), np.float32)
+        padded[: kp.pairs.shape[0]] = kp.pairs
+        valid = np.zeros(cap, bool)
+        valid[: kp.valid.shape[0]] = kp.valid
+        kps_pairs[key] = KpsPairs(padded, valid)
+    timings["kps_pairs"] = time.perf_counter() - t0
+
+    # --- batched LC mini-solves per pair (C13) ---
+    t0 = time.perf_counter()
+    lc_results: Dict[Tuple[int, int], LCResult] = {}
+    for (i, j) in pair_ids:
+        kp = kps_pairs[(i, j)]
+        fs, ft = frames[i], frames[j]
+        lc_results[(i, j)] = loop_closing_tfs(
+            jnp.asarray(kp.pairs),
+            jnp.asarray(kp.valid),
+            fs.dr_poses,
+            ft.dr_poses,
+            fs.geo,
+            ft.geo,
+            fs.altitudes,
+            ft.altitudes,
+            ft.ground_ranges,
+            n_bins=fs.raw.shape[1],
+            kp_cfg=cfg.kp_noise,
+            cfg=cfg.loop_closure,
+        )
+    # block until done for honest timing
+    for r in lc_results.values():
+        jax.block_until_ready(r.quality)
+    timings["loop_closures"] = time.perf_counter() - t0
+
+    # --- collect accepted LC factors (quality > 0; optimizer.cpp:234) ---
+    t0 = time.perf_counter()
+    offsets = np.cumsum([0] + [int(f.dr_poses.shape[0]) for f in frames])
+    frame_slices = [slice(int(offsets[k]), int(offsets[k + 1])) for k in range(len(frames))]
+
+    lc_i: List[int] = []
+    lc_j: List[int] = []
+    lc_R: List[np.ndarray] = []
+    lc_t: List[np.ndarray] = []
+    lc_sig: List[np.ndarray] = []
+    seen_targets = set()  # the reference attaches at most one LC per target ping
+    for (i, j) in pair_ids:
+        res = lc_results[(i, j)]
+        kp = kps_pairs[(i, j)]
+        q = np.asarray(res.quality)
+        var = np.asarray(res.variance6)
+        Rm = np.asarray(res.rel_pose.R)
+        tm = np.asarray(res.rel_pose.t)
+        for k in range(len(q)):
+            if not kp.valid[k] or not (q[k] > 0) or not np.all(np.isfinite(var[k])):
+                continue
+            gid_s = int(offsets[i] + kp.pairs[k, 0])
+            gid_t = int(offsets[j] + kp.pairs[k, 3])
+            if gid_t in seen_targets:
+                continue  # first-found wins (optimizer.cpp:218-231)
+            seen_targets.add(gid_t)
+            lc_i.append(gid_s)
+            lc_j.append(gid_t)
+            lc_R.append(Rm[k])
+            lc_t.append(tm[k])
+            lc_sig.append(np.sqrt(np.maximum(var[k], 1e-12)))
+    n_acc = len(lc_i)
+    if n_acc == 0:
+        lc_i, lc_j = [0], [min(1, offsets[-1] - 1)]
+        lc_meas = se3.identity((1,), jnp.float32)
+        lc_sigmas = np.ones((1, 6), np.float32)
+        lc_valid = np.zeros(1, bool)
+    else:
+        lc_meas = se3.Pose3(jnp.asarray(np.stack(lc_R)), jnp.asarray(np.stack(lc_t)))
+        lc_sigmas = np.stack(lc_sig).astype(np.float32)
+        lc_valid = np.ones(n_acc, bool)
+    timings["lc_gate"] = time.perf_counter() - t0
+
+    # --- global pose-graph solve (C15 replacement) ---
+    t0 = time.perf_counter()
+    dr_rows = [np.asarray(f.dr_poses) for f in frames]
+    noise_key = (
+        jax.random.PRNGKey(cfg.pose_graph.seed)
+        if cfg.pose_graph.init_noise_xyz > 0
+        else None
+    )
+    graph = build_chain_graph(
+        dr_rows,
+        lc_i=np.asarray(lc_i, np.int32),
+        lc_j=np.asarray(lc_j, np.int32),
+        lc_meas=lc_meas,
+        lc_sigmas=lc_sigmas,
+        lc_valid=lc_valid,
+        cfg=cfg.pose_graph,
+        noise_key=noise_key,
+    )
+    poses, info = solve_pose_graph(graph, cfg.pose_graph)
+    jax.block_until_ready(poses.t)
+    timings["pose_graph"] = time.perf_counter() - t0
+
+    # --- evaluation (C18) ---
+    t0 = time.perf_counter()
+    eval1: Dict[Tuple[int, int], Eval1Result] = {}
+    eval2: Dict[Tuple[int, int], Eval2Result] = {}
+    for (i, j) in pair_ids:
+        kp = kps_pairs[(i, j)]
+        rows = kp.pairs[kp.valid]
+        fs, ft = frames[i], frames[j]
+        est_s = poses[frame_slices[i]]
+        est_t = poses[frame_slices[j]]
+        eval1[(i, j)] = eval_landmark_consistency(
+            rows, fs.geo, ft.geo, fs.ground_ranges, ft.ground_ranges, est_s, est_t, fs.raw.shape[1]
+        )
+        if run_eval2:
+            eval2[(i, j)] = eval_triangulated_consistency(
+                rows,
+                fs.dr_poses,
+                ft.dr_poses,
+                fs.geo,
+                ft.geo,
+                fs.altitudes,
+                ft.altitudes,
+                est_s,
+                est_t,
+                cfg.kp_noise,
+                cfg.loop_closure,
+            )
+    ate_dr = ate_est = None
+    if gt_rows_list is not None:
+        gt_all = np.concatenate(gt_rows_list, axis=0)
+        dr_all = se3.from_rodrigues_xyz(jnp.asarray(np.concatenate(dr_rows), jnp.float32))
+        ate_dr = trajectory_ate(dr_all, gt_all)
+        ate_est = trajectory_ate(poses, gt_all)
+    timings["evaluation"] = time.perf_counter() - t0
+
+    # --- trajectory dumps (C17) ---
+    if out_dir is not None:
+        from .trajectory import save_poses_rpy
+
+        dr_all = se3.from_rodrigues_xyz(jnp.asarray(np.concatenate(dr_rows), jnp.float32))
+        save_poses_rpy(f"{out_dir}/dr_poses_all.txt", dr_all)
+        save_poses_rpy(f"{out_dir}/est_poses_all.txt", poses)
+
+    return SlamResult(
+        poses=poses,
+        frame_slices=frame_slices,
+        pair_ids=pair_ids,
+        lc_results=lc_results,
+        n_lc_accepted=n_acc,
+        eval1=eval1,
+        eval2=eval2,
+        ate_dr=ate_dr,
+        ate_est=ate_est,
+        solve_error0=float(info.error0),
+        solve_error=float(info.error),
+        timings=timings,
+    )

@@ -1,0 +1,202 @@
+"""Synthetic side-scan sonar survey generator.
+
+The reference ships a bundled 5-line survey (``test_data/``, gitignored — layout
+documented at /root/reference/.gitignore:71-117) that its demo and evaluation run
+on.  That data is not available here, so this module generates surveys with the
+same structure and file formats:
+
+* a lawnmower ground-truth trajectory with alternating headings (the reference's
+  parity logic assumes odd/even lines run in opposite directions,
+  FEAmatcher.cpp:209-212),
+* dead-reckoning poses = ground truth + integrated drift (what SLAM must fix),
+* waterfall images with speckle background and bright landmark echoes (gives the
+  feature detector/matcher something real to find),
+* annotation rows ``(id_s, id_t, ping_s, bin_s, ping_t, bin_t, depth*1e5)`` in
+  the reference's integer format (util.cpp:190-210, optimizer.cpp:616-625),
+* altitude and ground-range tables.
+
+Because ground truth is known, we can compute true trajectory ATE — a stronger
+evaluation than the reference's self-consistency metrics, reported alongside them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SurveyLine:
+    img_id: int
+    gt_poses: np.ndarray  # (N, 6) ground-truth rows (r, p, y, x, y, z)
+    dr_poses: np.ndarray  # (N, 6) dead-reckoning rows
+    altitudes: np.ndarray  # (N,)
+    ground_ranges: np.ndarray  # (G,)
+    image: np.ndarray  # (N, M) raw intensities (float)
+    annos: np.ndarray  # (Ka, 7) int annotation rows (source frame = this line)
+
+
+@dataclasses.dataclass
+class Survey:
+    lines: List[SurveyLine]
+    landmarks: np.ndarray  # (L, 3) world positions
+    floor_z: float
+
+    @property
+    def n_lines(self):
+        return len(self.lines)
+
+
+def make_survey(
+    n_lines: int = 5,
+    n_pings: int = 600,
+    n_bins: int = 512,
+    n_landmarks: int = 60,
+    spacing: float = 30.0,
+    ping_step: float = 0.35,
+    altitude: float = 12.0,
+    r0: float = 5.0,
+    drift_xy: float = 0.004,
+    drift_yaw: float = 2e-5,
+    seed: int = 0,
+) -> Survey:
+    """Generate a synthetic survey.
+
+    Drift model: per-ping random-walk increments in (x, y, yaw), integrated along
+    each line and carried across lines — mimicking DVL/INS dead-reckoning error.
+    """
+    rng = np.random.default_rng(seed)
+    half = n_bins // 2
+    g_max = 40.0
+    dgr = (g_max - r0) / (half - 1)
+    ground_ranges = r0 + dgr * np.arange(half)
+    floor_z = -altitude
+
+    length = (n_pings - 1) * ping_step
+    # landmarks scattered over the surveyed strip (kept away from line ends)
+    lx = rng.uniform(0.12 * length, 0.88 * length, n_landmarks)
+    ly = rng.uniform(-g_max, (n_lines - 1) * spacing + g_max, n_landmarks)
+    landmarks = np.stack([lx, ly, np.full(n_landmarks, floor_z)], axis=1)
+
+    # --- ground-truth + drift trajectories ---
+    lines: List[SurveyLine] = []
+    drift = np.zeros(3)  # accumulated (dx, dy, dyaw), carried across lines
+    all_obs = []  # (line, ping, bin, landmark_idx) observation events
+    for l in range(n_lines):
+        forward = l % 2 == 0
+        xs = np.arange(n_pings) * ping_step if forward else length - np.arange(n_pings) * ping_step
+        ys = np.full(n_pings, l * spacing)
+        yaw = 0.0 if forward else np.pi
+        gt = np.zeros((n_pings, 6))
+        gt[:, 2] = yaw + rng.normal(0, 0.002, n_pings)  # small heading wiggle
+        gt[:, 3] = xs
+        gt[:, 4] = ys + rng.normal(0, 0.02, n_pings)
+        gt[:, 5] = 0.0
+
+        # integrate drift
+        inc = rng.normal(0, 1, (n_pings, 3)) * np.array([drift_xy, drift_xy, drift_yaw])
+        # bias the walk slightly so drift grows like real DR error
+        inc += np.array([drift_xy, drift_xy, drift_yaw]) * 0.5
+        walk = drift + np.cumsum(inc, axis=0)
+        drift = walk[-1]
+        dr = gt.copy()
+        dr[:, 3] += walk[:, 0]
+        dr[:, 4] += walk[:, 1]
+        dr[:, 2] += walk[:, 2]
+
+        alts = altitude + rng.normal(0, 0.05, n_pings)
+
+        # --- render the waterfall image (ground truth geometry) ---
+        img = rng.rayleigh(scale=20.0, size=(n_pings, n_bins))
+        # nadir return: bright stripe at the innermost bins
+        img[:, half - 2 : half + 2] *= 3.0
+
+        heading = np.stack([np.cos(gt[:, 2]), np.sin(gt[:, 2])], axis=1)  # (N,2)
+        stb_dir = np.stack([np.cos(gt[:, 2] + np.pi / 2), np.sin(gt[:, 2] + np.pi / 2)], axis=1)
+        rel = landmarks[None, :, :2] - gt[:, None, 3:5]  # (N, L, 2)
+        along = np.einsum("nlk,nk->nl", rel, heading)
+        cross = np.einsum("nlk,nk->nl", rel, stb_dir)  # + -> starboard
+        g_rng = np.abs(cross)
+        in_swath = (g_rng >= r0) & (g_rng <= g_max) & (np.abs(along) <= 3 * ping_step)
+        pings_idx, lm_idx = np.nonzero(in_swath)
+        for pi, li in zip(pings_idx, lm_idx):
+            k = int(round((g_rng[pi, li] - r0) / dgr))
+            k = min(max(k, 0), half - 1)
+            b = half + k if cross[pi, li] > 0 else half - k
+            b = min(max(b, 1), n_bins - 2)
+            # bright echo blob + acoustic shadow behind it
+            amp = 110.0 * np.exp(-(along[pi, li] ** 2) / (2 * ping_step**2))
+            b_lo, b_hi = max(b - 2, 0), min(b + 3, n_bins)
+            img[pi, b_lo:b_hi] += amp * np.exp(-((np.arange(b_lo, b_hi) - b) ** 2) / 2.0)
+            if cross[pi, li] > 0 and b + 6 < n_bins:
+                img[pi, b + 3 : b + 6] *= 0.35
+            elif cross[pi, li] <= 0 and b - 6 >= 0:
+                img[pi, b - 5 : b - 2] *= 0.35
+        # record the center observation (|along| minimal) per landmark
+        for li in range(n_landmarks):
+            vis = np.nonzero(in_swath[:, li])[0]
+            if len(vis) == 0:
+                continue
+            pi = vis[np.argmin(np.abs(along[vis, li]))]
+            k = int(round((g_rng[pi, li] - r0) / dgr))
+            k = min(max(k, 0), half - 1)
+            b = half + k if cross[pi, li] > 0 else half - k
+            all_obs.append((l, int(pi), int(b), li))
+
+        lines.append(
+            SurveyLine(
+                img_id=l,
+                gt_poses=gt,
+                dr_poses=dr,
+                altitudes=alts,
+                ground_ranges=ground_ranges,
+                image=img,
+                annos=np.zeros((0, 7), np.int64),
+            )
+        )
+
+    # --- annotations: landmarks seen from two different lines ---
+    obs_by_lm: dict = {}
+    for l, pi, b, li in all_obs:
+        obs_by_lm.setdefault(li, []).append((l, pi, b))
+    annos_per_line = [[] for _ in range(n_lines)]
+    for li, obs in obs_by_lm.items():
+        depth_int = int(round(-landmarks[li, 2] * 1e5))  # reference stores depth*1e5
+        for a in range(len(obs)):
+            for b in range(a + 1, len(obs)):
+                (l1, p1, b1), (l2, p2, b2) = obs[a], obs[b]
+                if l1 == l2:
+                    continue
+                annos_per_line[l1].append((l1, l2, p1, b1, p2, b2, depth_int))
+                annos_per_line[l2].append((l2, l1, p2, b2, p1, b1, depth_int))
+    for l in range(n_lines):
+        if annos_per_line[l]:
+            lines[l].annos = np.asarray(annos_per_line[l], np.int64)
+
+    return Survey(lines=lines, landmarks=landmarks, floor_z=floor_z)
+
+
+def _main():
+    """Write a synthetic survey dataset in the reference file layout.
+
+    Usage: python -m diasss_tpu.synthetic OUTDIR [n_lines] [n_pings] [n_bins]
+    """
+    import sys
+
+    from .io import save_survey
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "./synthetic_survey"
+    n_lines = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    n_pings = int(sys.argv[3]) if len(sys.argv) > 3 else 600
+    n_bins = int(sys.argv[4]) if len(sys.argv) > 4 else 512
+    survey = make_survey(n_lines=n_lines, n_pings=n_pings, n_bins=n_bins)
+    folders = save_survey(survey, out)
+    print(f"synthetic survey written to {out}")
+    for k, v in folders.items():
+        print(f"  --{k} {v}")
+
+
+if __name__ == "__main__":
+    _main()

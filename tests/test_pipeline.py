@@ -1,0 +1,82 @@
+"""End-to-end pipeline tests on small synthetic surveys (annotation-driven M1 path)."""
+
+import numpy as np
+import pytest
+
+from diasss_tpu.config import PipelineConfig
+from diasss_tpu.frame import build_keyframe
+from diasss_tpu.pipeline import run_slam
+from diasss_tpu.synthetic import make_survey
+
+
+@pytest.fixture(scope="module")
+def small_survey():
+    return make_survey(n_lines=3, n_pings=150, n_bins=512, n_landmarks=40, seed=7)
+
+
+@pytest.fixture(scope="module")
+def slam_result(small_survey):
+    frames = [
+        build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+        for l in small_survey.lines
+    ]
+    return run_slam(
+        frames,
+        PipelineConfig(),
+        gt_rows_list=[l.gt_poses for l in small_survey.lines],
+        run_eval2=False,
+    )
+
+
+class TestPipeline:
+    def test_overlap_gating(self, slam_result):
+        # adjacent lines overlap (spacing 30 < swath 80); all gated pairs sane
+        assert (0, 1) in slam_result.pair_ids
+        assert (1, 2) in slam_result.pair_ids
+
+    def test_pose_graph_converged(self, slam_result):
+        assert slam_result.solve_error < slam_result.solve_error0 * 1e-3
+
+    def test_slam_not_worse_than_dr(self, slam_result):
+        assert slam_result.ate_est is not None
+        assert slam_result.ate_est <= slam_result.ate_dr * 1.05
+
+    def test_eval1_produced(self, slam_result):
+        assert len(slam_result.eval1) == len(slam_result.pair_ids)
+        total_pairs = sum(e.n_pairs for e in slam_result.eval1.values())
+        assert total_pairs > 0
+
+    def test_pose_count_matches_frames(self, slam_result, small_survey):
+        total = sum(len(l.dr_poses) for l in small_survey.lines)
+        assert slam_result.poses.t.shape[0] == total
+
+    def test_frame_slices(self, slam_result, small_survey):
+        for f, l in enumerate(small_survey.lines):
+            sl = slam_result.frame_slices[f]
+            assert sl.stop - sl.start == len(l.dr_poses)
+
+
+class TestSynthetic:
+    def test_annotation_symmetry(self, small_survey):
+        """Every anno row on line a targeting b has a mirror on line b."""
+        lines = small_survey.lines
+        for l in lines:
+            for row in l.annos:
+                tgt = lines[row[1]]
+                mirror = tgt.annos[
+                    (tgt.annos[:, 1] == row[0])
+                    & (tgt.annos[:, 2] == row[4])
+                    & (tgt.annos[:, 3] == row[5])
+                ]
+                assert len(mirror) >= 1
+
+    def test_drift_grows(self, small_survey):
+        first = small_survey.lines[0]
+        last = small_survey.lines[-1]
+        d0 = np.abs(first.dr_poses[:, 3:5] - first.gt_poses[:, 3:5]).mean()
+        d1 = np.abs(last.dr_poses[:, 3:5] - last.gt_poses[:, 3:5]).mean()
+        assert d1 > d0
+
+    def test_image_has_echo_contrast(self, small_survey):
+        img = small_survey.lines[0].image
+        assert img.max() > np.median(img) * 3

@@ -1,0 +1,111 @@
+"""Global pose-graph solver tests: recovers the DR chain, applies loop closures."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diasss_tpu.config import PoseGraphConfig
+from diasss_tpu.geometry import se3
+from diasss_tpu.solvers.pose_graph import (
+    PoseGraph,
+    build_chain_graph,
+    graph_error,
+    solve_pose_graph,
+)
+
+
+def _no_lc():
+    return dict(
+        lc_i=np.zeros(1, np.int32),
+        lc_j=np.ones(1, np.int32),
+        lc_meas=se3.identity((1,), jnp.float32),
+        lc_sigmas=np.ones((1, 6), np.float32),
+        lc_valid=np.zeros(1, bool),
+    )
+
+
+def _ate(poses, gt_rows):
+    gt = se3.from_rodrigues_xyz(jnp.asarray(gt_rows, jnp.float32))
+    d = np.asarray(poses.t) - np.asarray(gt.t)
+    return float(np.sqrt(np.mean(np.sum(d * d, axis=1))))
+
+
+def make_chain(n=120, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = np.zeros((n, 6))
+    rows[:, 2] = 0.002 * rng.normal(size=n)
+    rows[:, 3] = np.arange(n) * 0.5
+    rows[:, 4] = 0.05 * rng.normal(size=n)
+    return rows
+
+
+class TestChainOnly:
+    def test_noisy_initials_return_to_dr_chain(self):
+        rows = make_chain()
+        g = build_chain_graph([rows], **_no_lc(), noise_key=jax.random.PRNGKey(1))
+        # sanity: the noise really perturbed the initials
+        dr = se3.from_rodrigues_xyz(jnp.asarray(rows, jnp.float32))
+        assert _ate(g.poses0, rows) > 0.3
+        poses, info = solve_pose_graph(g, PoseGraphConfig())
+        assert float(info.error) < float(info.error0) * 1e-3
+        # exact odometry + fixed first pose => exact DR chain recovery
+        np.testing.assert_allclose(np.asarray(poses.t), np.asarray(dr.t), atol=2e-2)
+
+    def test_zero_noise_is_fixed_point(self):
+        rows = make_chain()
+        g = build_chain_graph([rows], **_no_lc(), noise_key=None)
+        poses, info = solve_pose_graph(g, PoseGraphConfig())
+        np.testing.assert_allclose(np.asarray(poses.t), np.asarray(g.poses0.t), atol=1e-3)
+
+
+class TestWithLoopClosures:
+    def test_lc_corrects_drift(self):
+        """DR drifts; loop closures to ground truth pull the chain back."""
+        n = 200
+        rng = np.random.default_rng(2)
+        gt = make_chain(n, seed=3)
+        drift = np.cumsum(rng.normal(0, 1, (n, 2)) * 0.01 + 0.01, axis=0)
+        dr = gt.copy()
+        dr[:, 3] += drift[:, 0]
+        dr[:, 4] += drift[:, 1]
+
+        gt_poses = se3.from_rodrigues_xyz(jnp.asarray(gt, jnp.float32))
+        # loop closures: every 25th pose pair (i, i+50) with GT relative pose
+        lc_i = np.arange(10, n - 50, 25, dtype=np.int32)
+        lc_j = (lc_i + 50).astype(np.int32)
+        meas = se3.between(gt_poses[jnp.asarray(lc_i)], gt_poses[jnp.asarray(lc_j)])
+        sig = np.full((len(lc_i), 6), 0.05, np.float32)
+
+        g = build_chain_graph(
+            [dr],
+            lc_i=lc_i,
+            lc_j=lc_j,
+            lc_meas=meas,
+            lc_sigmas=sig,
+            lc_valid=np.ones(len(lc_i), bool),
+            noise_key=None,
+        )
+        poses, info = solve_pose_graph(g, PoseGraphConfig())
+        ate_dr = _ate(g.poses0, gt)
+        ate_est = _ate(poses, gt)
+        assert ate_est < ate_dr * 0.7, (ate_dr, ate_est)
+
+    def test_invalid_lc_slots_are_inert(self):
+        rows = make_chain()
+        base = build_chain_graph([rows], **_no_lc(), noise_key=None)
+        # same graph but with garbage measurements in invalid slots
+        garbage = se3.expmap(jnp.ones((1, 6), jnp.float32))
+        g2 = base._replace(lc_meas=garbage)
+        e1 = float(graph_error(base.poses0, base))
+        e2 = float(graph_error(g2.poses0, g2))
+        assert e1 == e2
+
+    def test_multi_frame_chain_links(self):
+        """Concatenated frames form one chain (cross-frame odometry links)."""
+        rows1 = make_chain(60, seed=5)
+        rows2 = make_chain(60, seed=6)
+        rows2[:, 3] += 40.0
+        g = build_chain_graph([rows1, rows2], **_no_lc(), noise_key=jax.random.PRNGKey(4))
+        poses, info = solve_pose_graph(g, PoseGraphConfig())
+        dr = se3.from_rodrigues_xyz(jnp.asarray(np.concatenate([rows1, rows2]), jnp.float32))
+        np.testing.assert_allclose(np.asarray(poses.t), np.asarray(dr.t), atol=3e-2)
