@@ -24,6 +24,12 @@ class DetectorConfig:
     edge_threshold: int = 19  # ORBextractor.h EDGE_THRESHOLD used for borders
     blur_ksize: int = 13  # GaussianBlur 13x13 (ORBextractor.cpp:1092)
     blur_sigma: float = 2.0  # ORBextractor.cpp:1092
+    # Descriptor window multiplier.  1.0 = reference parity: kp.size = 31 *
+    # scale^level fed to SIFT (ORBextractor.cpp:847 + SiftDescriptorExtractor),
+    # which yields ~+-93 px windows.  Values < 1 shrink the window toward the
+    # texture correlation scale — measurably better descriptor separability on
+    # speckle imagery (see tests/test_matching.py).
+    desc_size_scale: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,6 +62,12 @@ class MatcherConfig:
     scc_pix_error: float = 2.5  # inlier tolerance in pings (FEAmatcher.cpp:190)
     consistency_thres: float = 2.5  # cross-direction model gap (FEAmatcher.cpp:329)
     rng_seed: int = 1  # cv::setRNGSeed(1) (FEAmatcher.cpp:60)
+    # Improvement over the reference (off by default for parity): when > 0, the
+    # ratio test's second-best candidate must lie at least this many meters from
+    # the best one.  On texture-correlated imagery the plain ratio test is
+    # defeated by near-duplicate neighbors of the true match; excluding the
+    # best's spatial neighborhood restores its discriminative meaning.
+    ratio_excl_radius: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

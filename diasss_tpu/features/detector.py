@@ -140,7 +140,7 @@ def detect_features(
         blurred = gaussian_blur(limg, cfg.blur_ksize, cfg.blur_sigma)
         size_lvl = PATCH_SIZE * scale  # kp.size convention (ORBextractor.cpp:847)
         desc = sift_descriptors(
-            blurred, xy, ang, jnp.full((k_level,), size_lvl, jnp.float32)
+            blurred, xy, ang, jnp.full((k_level,), size_lvl * cfg.desc_size_scale, jnp.float32)
         )
         parts.append(
             DetectedFeatures(

@@ -32,7 +32,9 @@ import numpy as np
 D_SPATIAL = 4  # SIFT_DESCR_WIDTH
 N_ORI = 8  # SIFT_DESCR_HIST_BINS
 SCL_FCTR = 3.0  # SIFT_DESCR_SCL_FCTR: bin width = 3 * scale
-PATCH = 16  # sample grid (PATCH x PATCH), 4 samples per spatial bin
+PATCH = 32  # sample grid (PATCH x PATCH), 8 samples per spatial bin
+# (the reference's SIFT-on-ORB-keypoints yields ~+-93 px windows at kp.size=31;
+#  32x32 samples keep aliasing acceptable after the 13x13 sigma-2 blur)
 MAG_THRESH = 0.2
 INT_FCTR = 512.0
 

@@ -120,3 +120,20 @@ def build_keyframe(
         ground_ranges=grs_j,
         annos=np.zeros((0, 7), np.int64) if annos is None else np.asarray(annos),
     )
+
+
+def normalize_columns(raw: jnp.ndarray) -> jnp.ndarray:
+    """Column-wise mean normalization + clip [0, 3] + rescale to [0, 255].
+
+    The reference's alternate normalizer ``Util::NormalizeConvertSSS``
+    (util.cpp:339-417, default path rs_by_column with clip): each column divided
+    by its mean, clipped to [0, 3], min-max rescaled to 0-255, uint8.
+    """
+    raw = raw.astype(jnp.float32)
+    col_mean = jnp.mean(raw, axis=0, keepdims=True)
+    x = raw / jnp.maximum(col_mean, 1e-12)
+    x = jnp.clip(x, 0.0, 3.0)
+    mn = jnp.min(x)
+    mx = jnp.max(x)
+    x = (x - mn) * (255.0 / jnp.maximum(mx - mn, 1e-12))
+    return jnp.round(x).astype(jnp.uint8)

@@ -45,18 +45,34 @@ def _read_txt_column(path: str) -> np.ndarray:
     return np.asarray(vals)
 
 
+def _readers(use_native: bool):
+    if use_native:
+        try:
+            from .. import native
+
+            if native.available():
+                return native.read_matrix, native.read_txt_column
+        except Exception:
+            pass
+    return read_matrix, _read_txt_column
+
+
 def load_input_data(
     image_folder: str,
     pose_folder: str,
     altitude_folder: str,
     groundrange_folder: str,
     annotation_folder: str,
+    use_native: bool = True,
 ) -> SurveyData:
-    images = [read_matrix(p, "ct_img") for p in _sorted_files(image_folder)]
-    poses = [read_matrix(p, "auv_pose") for p in _sorted_files(pose_folder)]
-    altitudes = [_read_txt_column(p) for p in _sorted_files(altitude_folder)]
-    ground_ranges = [_read_txt_column(p) for p in _sorted_files(groundrange_folder)]
-    annotations = [read_matrix(p, "anno_kps") for p in _sorted_files(annotation_folder)]
+    """Load a survey; prefers the C++ native reader (C2 native path, ~2-10x
+    faster XML parse), falling back to the pure-Python parser."""
+    read_mat, read_txt = _readers(use_native)
+    images = [read_mat(p, "ct_img") for p in _sorted_files(image_folder)]
+    poses = [read_mat(p, "auv_pose") for p in _sorted_files(pose_folder)]
+    altitudes = [read_txt(p) for p in _sorted_files(altitude_folder)]
+    ground_ranges = [read_txt(p) for p in _sorted_files(groundrange_folder)]
+    annotations = [read_mat(p, "anno_kps") for p in _sorted_files(annotation_folder)]
     n = len(images)
     if not (len(poses) == len(altitudes) == len(ground_ranges) == len(annotations) == n):
         raise ValueError(

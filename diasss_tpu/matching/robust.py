@@ -1,0 +1,122 @@
+"""Bidirectional robust matching with cross-direction consistency merge.
+
+Replaces ``FEAmatcher::RobustMatching`` + ``ConsistentCheck``
+(/root/reference/src/core/FEAmatcher.cpp:13-50, 323-439):
+
+* run the geo-gated NN search + SCC in both directions;
+* if the two directions' consensus along-track offsets agree within 2.5 px
+  (parity-adjusted by the image row-count difference, :341-345), take the union
+  of both directions, skipping direction-1 matches whose reverse map points back
+  (they would be duplicated by direction 2, :353);
+* otherwise keep only the direction with more inliers (:373-405).
+
+Output rows follow the ``corres_kps`` layout
+``(img_id, ref_img_id, ping, bin, ref_ping, ref_bin)`` (:37-44) — note the
+reference stores (pt.y, pt.x) = (ping, bin) order.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MatcherConfig
+from ..features.detector import DetectedFeatures
+from .geosearch import geo_nn_search
+from .scc import scc_filter
+
+
+class MatchResult(NamedTuple):
+    rows_s: np.ndarray  # (M, 6) corres_kps rows for the source frame
+    rows_t: np.ndarray  # (M, 6) mirrored rows for the target frame
+    n_matches: int
+    inliers_1: int
+    inliers_2: int
+    consistent: bool
+
+
+def _kp_geo(feats: DetectedFeatures, geo_img: jnp.ndarray) -> jnp.ndarray:
+    """Geo position of each keypoint: geo image gathered at integer coords
+    (FEAmatcher.cpp:81-82 uses .at<double>(kp.y, kp.x) — truncation, not
+    rounding)."""
+    xi = jnp.clip(feats.xy[:, 0].astype(jnp.int32), 0, geo_img.shape[1] - 1)
+    yi = jnp.clip(feats.xy[:, 1].astype(jnp.int32), 0, geo_img.shape[0] - 1)
+    return geo_img[yi, xi]
+
+
+def robust_matching(
+    img_id_s: int,
+    img_id_t: int,
+    feats_s: DetectedFeatures,
+    feats_t: DetectedFeatures,
+    geo_s: jnp.ndarray,
+    geo_t: jnp.ndarray,
+    rows_s: int,
+    rows_t: int,
+    cfg: MatcherConfig = MatcherConfig(),
+) -> MatchResult:
+    geo_kp_s = _kp_geo(feats_s, geo_s)
+    geo_kp_t = _kp_geo(feats_t, geo_t)
+    bbox_t = jnp.asarray(
+        [jnp.min(geo_t[..., 0]), jnp.max(geo_t[..., 0]), jnp.min(geo_t[..., 1]), jnp.max(geo_t[..., 1])]
+    )
+    bbox_s = jnp.asarray(
+        [jnp.min(geo_s[..., 0]), jnp.max(geo_s[..., 0]), jnp.min(geo_s[..., 1]), jnp.max(geo_s[..., 1])]
+    )
+
+    nn_1 = geo_nn_search(geo_kp_s, feats_s.desc, feats_s.valid, geo_kp_t, feats_t.desc, feats_t.valid, bbox_t, cfg)
+    nn_2 = geo_nn_search(geo_kp_t, feats_t.desc, feats_t.valid, geo_kp_s, feats_s.desc, feats_s.valid, bbox_s, cfg)
+
+    parity = jnp.asarray(img_id_s % 2 != img_id_t % 2)
+    key = jax.random.PRNGKey(cfg.rng_seed)
+    k1, k2 = jax.random.split(key)
+    scc_1 = scc_filter(
+        feats_s.xy[:, 1], feats_t.xy[:, 1], nn_1.corres, parity, jnp.asarray(float(rows_t)), k1, cfg
+    )
+    scc_2 = scc_filter(
+        feats_t.xy[:, 1], feats_s.xy[:, 1], nn_2.corres, parity, jnp.asarray(float(rows_s)), k2, cfg
+    )
+
+    # --- consistency merge (ConsistentCheck, FEAmatcher.cpp:323-405) ---
+    c1 = np.asarray(scc_1.corres)
+    c2 = np.asarray(scc_2.corres)
+    inl1 = int(scc_1.inlier_count)
+    inl2 = int(scc_2.inlier_count)
+    img_diff = abs(rows_s - rows_t) if (img_id_s % 2 != img_id_t % 2) else 0.0
+    kp_diff = abs(abs(float(scc_1.model_x) - float(scc_2.model_x)) - img_diff)
+
+    xy_s = np.asarray(feats_s.xy)
+    xy_t = np.asarray(feats_t.xy)
+    pairs: list[tuple[int, int]] = []
+    consistent = kp_diff <= cfg.consistency_thres
+    if consistent:
+        for i in np.nonzero(c1 >= 0)[0]:
+            j = c1[i]
+            if c2[j] == i:
+                continue  # mutual match: direction 2 will emit it (:353)
+            pairs.append((int(i), int(j)))
+        for j in np.nonzero(c2 >= 0)[0]:
+            pairs.append((int(c2[j]), int(j)))
+    elif inl1 > inl2:
+        pairs = [(int(i), int(c1[i])) for i in np.nonzero(c1 >= 0)[0]]
+    else:
+        pairs = [(int(c2[j]), int(j)) for j in np.nonzero(c2 >= 0)[0]]
+
+    rows_src = np.zeros((len(pairs), 6), np.float64)
+    rows_tgt = np.zeros((len(pairs), 6), np.float64)
+    for m, (i, j) in enumerate(pairs):
+        ps, bs = xy_s[i, 1], xy_s[i, 0]
+        pt, bt = xy_t[j, 1], xy_t[j, 0]
+        rows_src[m] = (img_id_s, img_id_t, ps, bs, pt, bt)
+        rows_tgt[m] = (img_id_t, img_id_s, pt, bt, ps, bs)
+    return MatchResult(
+        rows_s=rows_src,
+        rows_t=rows_tgt,
+        n_matches=len(pairs),
+        inliers_1=inl1,
+        inliers_2=inl2,
+        consistent=bool(consistent),
+    )

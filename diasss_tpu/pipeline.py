@@ -74,12 +74,49 @@ def run_slam(
     pair_ids = _overlap_pairs(frames, cfg.min_overlap)
     timings["overlap_gate"] = time.perf_counter() - t0
 
+    # --- detected-correspondence path (USE_ANNO=0): detect + match (C6-C8) ---
+    use_anno = cfg.pose_graph.use_anno
+    corres_rows: Dict[int, list] = {i: [] for i in range(len(frames))}
+    if not use_anno:
+        from .features import detect_features
+        from .matching import robust_matching
+
+        t0 = time.perf_counter()
+        feats = [detect_features(f.norm, f.mask, cfg.detector) for f in frames]
+        for r in feats:
+            jax.block_until_ready(r.desc)
+        timings["detect"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for (i, j) in pair_ids:
+            m = robust_matching(
+                frames[i].img_id,
+                frames[j].img_id,
+                feats[i],
+                feats[j],
+                frames[i].geo,
+                frames[j].geo,
+                rows_s=frames[i].raw.shape[0],
+                rows_t=frames[j].raw.shape[0],
+                cfg=cfg.matcher,
+            )
+            if m.n_matches:
+                corres_rows[i].append(m.rows_s)
+                corres_rows[j].append(m.rows_t)
+        timings["matching"] = time.perf_counter() - t0
+
     # --- keypoint pair assembly (C10), uniform capacity across pairs ---
     t0 = time.perf_counter()
-    use_anno = cfg.pose_graph.use_anno
     raw_pairs: Dict[Tuple[int, int], np.ndarray] = {}
     for (i, j) in pair_ids:
-        rows = frames[i].annos if use_anno else getattr(frames[i], "corres_kps", np.zeros((0, 6)))
+        if use_anno:
+            rows = frames[i].annos
+        else:
+            rows = (
+                np.concatenate(corres_rows[i], axis=0)
+                if corres_rows[i]
+                else np.zeros((0, 6))
+            )
         kp = get_kps_pairs(
             rows,
             frames[j].img_id,
@@ -104,29 +141,57 @@ def run_slam(
         kps_pairs[key] = KpsPairs(padded, valid)
     timings["kps_pairs"] = time.perf_counter() - t0
 
-    # --- batched LC mini-solves per pair (C13) ---
+    # --- batched LC mini-solves (C13) ---
+    # When all frames share a shape (the common case), every pair's batch fuses
+    # into ONE stacked device dispatch; otherwise fall back to per-pair solves.
     t0 = time.perf_counter()
     lc_results: Dict[Tuple[int, int], LCResult] = {}
-    for (i, j) in pair_ids:
-        kp = kps_pairs[(i, j)]
-        fs, ft = frames[i], frames[j]
-        lc_results[(i, j)] = loop_closing_tfs(
-            jnp.asarray(kp.pairs),
-            jnp.asarray(kp.valid),
-            fs.dr_poses,
-            ft.dr_poses,
-            fs.geo,
-            ft.geo,
-            fs.altitudes,
-            ft.altitudes,
-            ft.ground_ranges,
-            n_bins=fs.raw.shape[1],
+    same_shape = len({tuple(f.raw.shape) for f in frames}) == 1
+    if same_shape and pair_ids:
+        from .solvers.lc import loop_closing_tfs_stacked
+
+        cap_blk = cap
+        rows_cat = np.concatenate([kps_pairs[k].pairs for k in pair_ids], axis=0)
+        valid_cat = np.concatenate([kps_pairs[k].valid for k in pair_ids], axis=0)
+        src_cat = np.concatenate([np.full(cap_blk, i, np.int32) for (i, j) in pair_ids])
+        tgt_cat = np.concatenate([np.full(cap_blk, j, np.int32) for (i, j) in pair_ids])
+        stacked = loop_closing_tfs_stacked(
+            jnp.asarray(rows_cat),
+            jnp.asarray(valid_cat),
+            jnp.asarray(src_cat),
+            jnp.asarray(tgt_cat),
+            jnp.stack([f.dr_poses for f in frames]),
+            jnp.stack([f.geo for f in frames]),
+            jnp.stack([f.altitudes for f in frames]),
+            jnp.stack([f.ground_ranges for f in frames]),
+            n_bins=frames[0].raw.shape[1],
             kp_cfg=cfg.kp_noise,
             cfg=cfg.loop_closure,
         )
-    # block until done for honest timing
-    for r in lc_results.values():
-        jax.block_until_ready(r.quality)
+        jax.block_until_ready(stacked.quality)
+        for k, key in enumerate(pair_ids):
+            sl = slice(k * cap_blk, (k + 1) * cap_blk)
+            lc_results[key] = jax.tree_util.tree_map(lambda a: a[sl], stacked)
+    else:
+        for (i, j) in pair_ids:
+            kp = kps_pairs[(i, j)]
+            fs, ft = frames[i], frames[j]
+            lc_results[(i, j)] = loop_closing_tfs(
+                jnp.asarray(kp.pairs),
+                jnp.asarray(kp.valid),
+                fs.dr_poses,
+                ft.dr_poses,
+                fs.geo,
+                ft.geo,
+                fs.altitudes,
+                ft.altitudes,
+                ft.ground_ranges,
+                n_bins=fs.raw.shape[1],
+                kp_cfg=cfg.kp_noise,
+                cfg=cfg.loop_closure,
+            )
+        for r in lc_results.values():
+            jax.block_until_ready(r.quality)
     timings["loop_closures"] = time.perf_counter() - t0
 
     # --- collect accepted LC factors (quality > 0; optimizer.cpp:234) ---
@@ -229,15 +294,20 @@ def run_slam(
         ate_est = trajectory_ate(poses, gt_all)
     timings["evaluation"] = time.perf_counter() - t0
 
-    # --- trajectory dumps (C17) ---
+    # --- trajectory dumps (C17) + reference text artifacts (SURVEY §5) ---
+    result_for_dumps = None
     if out_dir is not None:
-        from .trajectory import save_poses_rpy
+        from .trajectory import save_poses_quat, save_poses_rpy
 
         dr_all = se3.from_rodrigues_xyz(jnp.asarray(np.concatenate(dr_rows), jnp.float32))
         save_poses_rpy(f"{out_dir}/dr_poses_all.txt", dr_all)
         save_poses_rpy(f"{out_dir}/est_poses_all.txt", poses)
+        if len(frames) == 2:
+            # pairwise variant writes quaternion rows (optimizer.cpp:1119-1121)
+            save_poses_quat(f"{out_dir}/dr_poses.txt", dr_all)
+            save_poses_quat(f"{out_dir}/est_poses.txt", poses)
 
-    return SlamResult(
+    result = SlamResult(
         poses=poses,
         frame_slices=frame_slices,
         pair_ids=pair_ids,
@@ -251,3 +321,8 @@ def run_slam(
         solve_error=float(info.error),
         timings=timings,
     )
+    if out_dir is not None:
+        from .dumps import write_reference_dumps
+
+        write_reference_dumps(out_dir, result, kps_pairs)
+    return result

@@ -104,13 +104,13 @@ def _compass_flip(yaw, threshold, dtype):
 
 def _solve_one(
     pair: jnp.ndarray,  # (7,) ping_s, bin_s, sr_s, ping_t, bin_t, sr_t, depth
-    dr_s: jnp.ndarray,  # (Ns, 6)
-    dr_t: jnp.ndarray,  # (Nt, 6)
-    geo_s: jnp.ndarray,  # (Ns, M, 2)
-    geo_t: jnp.ndarray,  # (Nt, M, 2)
-    alts_s: jnp.ndarray,  # (Ns,)
-    alts_t: jnp.ndarray,  # (Nt,)
-    gras_t: jnp.ndarray,  # (G,)
+    row_s: jnp.ndarray,  # (6,) DR row of the source ping (pre-gathered)
+    row_t: jnp.ndarray,  # (6,) DR row of the target ping
+    g_s: jnp.ndarray,  # (2,) geo position of the source pixel
+    g_t: jnp.ndarray,  # (2,) geo position of the target pixel
+    alt_s: jnp.ndarray,  # () source altitude
+    alt_t: jnp.ndarray,  # () target altitude
+    gras_t: jnp.ndarray,  # (G,) target ground-range table
     n_bins: int,
     kp_cfg: KeypointNoiseConfig,
     cfg: LoopClosureConfig,
@@ -118,15 +118,9 @@ def _solve_one(
     from .lm import levenberg_marquardt, marginal_covariance
     from .triangulate import _solve_one as triangulate_one
 
-    dtype = dr_s.dtype
-    id_s = pair[0].astype(jnp.int32)
-    id_t = pair[3].astype(jnp.int32)
-    bin_s = pair[1].astype(jnp.int32)
+    dtype = row_s.dtype
     bin_t = pair[4].astype(jnp.int32)
     sr_s, sr_t = pair[2], pair[5]
-
-    row_s = dr_s[id_s]
-    row_t = dr_t[id_t]
 
     # compass-flip guard (optimizer.cpp:697-703)
     cps_s = _compass_flip(row_s[2], cfg.compass_flip_yaw, dtype)
@@ -167,11 +161,9 @@ def _solve_one(
 
     # landmark init: midpoint of geo projections, z = mean(pose_z - altitude)
     # (optimizer.cpp:792-794)
-    g_s = geo_s[id_s, bin_s]
-    g_t = geo_t[id_t, bin_t]
     x_bar = 0.5 * (g_s[0] + g_t[0])
     y_bar = 0.5 * (g_s[1] + g_t[1])
-    z_bar = 0.5 * ((row_s[5] - alts_s[id_s]) + (row_t[5] - alts_t[id_t]))
+    z_bar = 0.5 * ((row_s[5] - alt_s) + (row_t[5] - alt_t))
     L0 = jnp.stack([x_bar, y_bar, z_bar])
 
     state0 = LCState(X2=Tp_t, L=L0)
@@ -228,6 +220,22 @@ def _solve_one(
     )
 
 
+def _gather_inputs(pairs, dr_s, dr_t, geo_s, geo_t, alts_s, alts_t):
+    """Per-correspondence gathers from per-frame arrays."""
+    id_s = pairs[:, 0].astype(jnp.int32)
+    id_t = pairs[:, 3].astype(jnp.int32)
+    bin_s = pairs[:, 1].astype(jnp.int32)
+    bin_t = pairs[:, 4].astype(jnp.int32)
+    return (
+        dr_s[id_s],
+        dr_t[id_t],
+        geo_s[id_s, bin_s],
+        geo_t[id_t, bin_t],
+        alts_s[id_s],
+        alts_t[id_t],
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("n_bins", "kp_cfg", "cfg"))
 def loop_closing_tfs(
     pairs: jnp.ndarray,  # (K, 7) padded keypoint pairs (GetKpsPairs rows)
@@ -244,13 +252,75 @@ def loop_closing_tfs(
     cfg: LoopClosureConfig = LoopClosureConfig(),
 ) -> LCResult:
     """Solve all K loop-closure mini problems of one frame pair in one batch."""
+    row_s, row_t, g_s, g_t, alt_s, alt_t = _gather_inputs(
+        pairs, dr_s, dr_t, geo_s, geo_t, alts_s, alts_t
+    )
     fn = jax.vmap(
-        lambda p: _solve_one(
-            p, dr_s, dr_t, geo_s, geo_t, alts_s, alts_t, gras_t, n_bins, kp_cfg, cfg
+        lambda p, rs, rt, gs, gt, as_, at_: _solve_one(
+            p, rs, rt, gs, gt, as_, at_, gras_t, n_bins, kp_cfg, cfg
         )
     )
-    (rel, var6, quality, ini_d, fnl_d, drr, drp, esr, esp, dep, dgt, iters) = fn(pairs)
+    (rel, var6, quality, ini_d, fnl_d, drr, drp, esr, esp, dep, dgt, iters) = fn(
+        pairs, row_s, row_t, g_s, g_t, alt_s, alt_t
+    )
     # padded slots never become loop closures
+    quality = jnp.where(valid, quality, -jnp.inf)
+    return LCResult(
+        rel_pose=rel,
+        variance6=var6,
+        quality=quality,
+        valid=valid,
+        ini_dist=ini_d,
+        fnl_dist=fnl_d,
+        dr_range_e=drr,
+        dr_plane_e=drp,
+        est_range_e=esr,
+        est_plane_e=esp,
+        depth_est=dep,
+        depth_drape=dgt,
+        lm_iters=iters,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins", "kp_cfg", "cfg"))
+def loop_closing_tfs_stacked(
+    pairs: jnp.ndarray,  # (K, 7) correspondences from ALL frame pairs
+    valid: jnp.ndarray,  # (K,)
+    src_frame: jnp.ndarray,  # (K,) int32 source frame index
+    tgt_frame: jnp.ndarray,  # (K,) int32 target frame index
+    dr_all: jnp.ndarray,  # (F, N, 6) stacked DR rows (frames padded to equal N)
+    geo_all: jnp.ndarray,  # (F, N, M, 2)
+    alts_all: jnp.ndarray,  # (F, N)
+    gras_all: jnp.ndarray,  # (F, G)
+    n_bins: int,
+    kp_cfg: KeypointNoiseConfig = KeypointNoiseConfig(),
+    cfg: LoopClosureConfig = LoopClosureConfig(),
+) -> LCResult:
+    """Whole-survey loop-closure solve: every correspondence of every frame pair
+    in ONE batched dispatch (the per-pair loop becomes device-side gathers).
+
+    Requires frames stacked to a common ping count (pad + mask upstream).
+    """
+    id_s = pairs[:, 0].astype(jnp.int32)
+    id_t = pairs[:, 3].astype(jnp.int32)
+    bin_s = pairs[:, 1].astype(jnp.int32)
+    bin_t = pairs[:, 4].astype(jnp.int32)
+    row_s = dr_all[src_frame, id_s]
+    row_t = dr_all[tgt_frame, id_t]
+    g_s = geo_all[src_frame, id_s, bin_s]
+    g_t = geo_all[tgt_frame, id_t, bin_t]
+    alt_s = alts_all[src_frame, id_s]
+    alt_t = alts_all[tgt_frame, id_t]
+    gras_t = gras_all[tgt_frame]  # (K, G) — small
+
+    fn = jax.vmap(
+        lambda p, rs, rt, gs, gt, as_, at_, gr: _solve_one(
+            p, rs, rt, gs, gt, as_, at_, gr, n_bins, kp_cfg, cfg
+        )
+    )
+    (rel, var6, quality, ini_d, fnl_d, drr, drp, esr, esp, dep, dgt, iters) = fn(
+        pairs, row_s, row_t, g_s, g_t, alt_s, alt_t, gras_t
+    )
     quality = jnp.where(valid, quality, -jnp.inf)
     return LCResult(
         rel_pose=rel,

@@ -80,6 +80,37 @@ def make_survey(
     ly = rng.uniform(-g_max, (n_lines - 1) * spacing + g_max, n_landmarks)
     landmarks = np.stack([lx, ly, np.full(n_landmarks, floor_z)], axis=1)
 
+    # world-anchored seabed reflectivity field: real SSS texture is a property
+    # of the seafloor, so different passes over the same area see correlated
+    # intensity patterns (this is what makes descriptor matching physically
+    # possible); per-ping speckle multiplies it, view-dependent
+    tex_res = 0.7  # meters per texture cell
+    tx0, ty0 = -5.0, -(g_max + 5.0)
+    tw = int((length + 10.0) / tex_res) + 2
+    th = int(((n_lines - 1) * spacing + 2 * g_max + 10.0) / tex_res) + 2
+    tex = rng.uniform(0.0, 1.0, (th, tw))
+    # smooth to a ~1.5 m correlation length
+    kern = np.exp(-0.5 * (np.arange(-2, 3) ** 2))
+    kern /= kern.sum()
+    tex = np.apply_along_axis(lambda r: np.convolve(r, kern, "same"), 1, tex)
+    tex = np.apply_along_axis(lambda c: np.convolve(c, kern, "same"), 0, tex)
+
+    def reflectivity(gx, gy):
+        """Bilinear sample of the world texture at geo coords (arrays)."""
+        u = np.clip((gx - tx0) / tex_res, 0, tw - 1.001)
+        v = np.clip((gy - ty0) / tex_res, 0, th - 1.001)
+        u0 = u.astype(np.int64)
+        v0 = v.astype(np.int64)
+        fu = u - u0
+        fv = v - v0
+        t = (
+            tex[v0, u0] * (1 - fu) * (1 - fv)
+            + tex[v0, u0 + 1] * fu * (1 - fv)
+            + tex[v0 + 1, u0] * (1 - fu) * fv
+            + tex[v0 + 1, u0 + 1] * fu * fv
+        )
+        return 12.0 + 38.0 * t
+
     # --- ground-truth + drift trajectories ---
     lines: List[SurveyLine] = []
     drift = np.zeros(3)  # accumulated (dx, dy, dyaw), carried across lines
@@ -109,7 +140,15 @@ def make_survey(
         alts = altitude + rng.normal(0, 0.05, n_pings)
 
         # --- render the waterfall image (ground truth geometry) ---
-        img = rng.rayleigh(scale=20.0, size=(n_pings, n_bins))
+        # per-pixel geo position under GT poses -> world reflectivity x speckle
+        cols = np.arange(n_bins)
+        g_idx = np.clip(np.abs(cols - half), 0, half - 1)
+        gr_col = ground_ranges[g_idx]
+        ang = gt[:, 2][:, None] + np.where(cols[None, :] >= half, np.pi / 2, -np.pi / 2)
+        px = gt[:, 3][:, None] + gr_col[None, :] * np.cos(ang)
+        py = gt[:, 4][:, None] + gr_col[None, :] * np.sin(ang)
+        refl = reflectivity(px, py)
+        img = refl * rng.rayleigh(scale=1.0, size=(n_pings, n_bins)) * 0.35 + refl * 0.65
         # nadir return: bright stripe at the innermost bins
         img[:, half - 2 : half + 2] *= 3.0
 
@@ -119,31 +158,54 @@ def make_survey(
         along = np.einsum("nlk,nk->nl", rel, heading)
         cross = np.einsum("nlk,nk->nl", rel, stb_dir)  # + -> starboard
         g_rng = np.abs(cross)
-        in_swath = (g_rng >= r0) & (g_rng <= g_max) & (np.abs(along) <= 3 * ping_step)
-        pings_idx, lm_idx = np.nonzero(in_swath)
-        for pi, li in zip(pings_idx, lm_idx):
-            k = int(round((g_rng[pi, li] - r0) / dgr))
-            k = min(max(k, 0), half - 1)
-            b = half + k if cross[pi, li] > 0 else half - k
-            b = min(max(b, 1), n_bins - 2)
-            # bright echo blob + acoustic shadow behind it
-            amp = 110.0 * np.exp(-(along[pi, li] ** 2) / (2 * ping_step**2))
-            b_lo, b_hi = max(b - 2, 0), min(b + 3, n_bins)
-            img[pi, b_lo:b_hi] += amp * np.exp(-((np.arange(b_lo, b_hi) - b) ** 2) / 2.0)
-            if cross[pi, li] > 0 and b + 6 < n_bins:
-                img[pi, b + 3 : b + 6] *= 0.35
-            elif cross[pi, li] <= 0 and b - 6 >= 0:
-                img[pi, b - 5 : b - 2] *= 0.35
-        # record the center observation (|along| minimal) per landmark
+        in_swath = (g_rng >= r0 + 1.0) & (g_rng <= g_max - 1.0) & (np.abs(along) <= ping_step)
+
+        # each landmark is a distinctive constellation of sub-scatterers (so
+        # descriptors can discriminate — a single blob template would make every
+        # landmark identical and the matcher's ratio test would rightly reject
+        # everything); sub-scatterer world offsets are a deterministic function
+        # of the landmark id, shared across survey lines
         for li in range(n_landmarks):
             vis = np.nonzero(in_swath[:, li])[0]
             if len(vis) == 0:
                 continue
             pi = vis[np.argmin(np.abs(along[vis, li]))]
-            k = int(round((g_rng[pi, li] - r0) / dgr))
-            k = min(max(k, 0), half - 1)
-            b = half + k if cross[pi, li] > 0 else half - k
-            all_obs.append((l, int(pi), int(b), li))
+            lrng = np.random.default_rng(1000 + li)
+            n_sub = lrng.integers(4, 8)
+            sub_along = lrng.normal(0, 1.2, n_sub)  # meters along-track
+            sub_cross = lrng.normal(0, 1.2, n_sub)  # meters cross-track
+            # amplitudes stay below the mask's bright-pixel kill rule
+            # (> 2.5 x image mean, frame.cpp:98): background Rayleigh mean is
+            # ~25, so peaks ~2.0-2.3 x mean survive masking like real seabed
+            # texture (the rule targets sensor glitches, not scatterers)
+            sub_amp = lrng.uniform(22, 40, n_sub)
+            sub_amp[0] = 45.0  # dominant scatterer at the center
+            sub_along[0] = sub_cross[0] = 0.0
+
+            side = 1.0 if cross[pi, li] > 0 else -1.0
+            k0 = (g_rng[pi, li] - r0) / dgr
+            b0 = half + side * k0
+            for a_off, c_off, amp in zip(sub_along, sub_cross, sub_amp):
+                pf = pi + a_off / ping_step
+                bf = b0 + side * c_off / dgr
+                pc, bc = int(round(pf)), int(round(bf))
+                if not (2 <= pc < n_pings - 2 and 2 <= bc < n_bins - 2):
+                    continue
+                ys, xs = np.mgrid[pc - 2 : pc + 3, bc - 2 : bc + 3]
+                img[pc - 2 : pc + 3, bc - 2 : bc + 3] += amp * np.exp(
+                    -((ys - pf) ** 2 + (xs - bf) ** 2) / 1.6
+                )
+            # acoustic shadow behind the dominant scatterer
+            bc0 = int(round(b0))
+            if side > 0 and bc0 + 7 < n_bins:
+                img[max(pi - 1, 0) : pi + 2, bc0 + 4 : bc0 + 7] *= 0.35
+            elif side < 0 and bc0 - 7 >= 0:
+                img[max(pi - 1, 0) : pi + 2, bc0 - 6 : bc0 - 3] *= 0.35
+
+            k_idx = int(round(k0))
+            k_idx = min(max(k_idx, 0), half - 1)
+            b_rec = half + k_idx if side > 0 else half - k_idx
+            all_obs.append((l, int(pi), int(min(max(b_rec, 0), n_bins - 1)), li))
 
         lines.append(
             SurveyLine(

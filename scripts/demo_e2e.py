@@ -15,6 +15,8 @@ parser.add_argument("--pings", type=int, default=400)
 parser.add_argument("--bins", type=int, default=512)
 parser.add_argument("--landmarks", type=int, default=50)
 parser.add_argument("--tpu", action="store_true", help="run on the real TPU (default: CPU)")
+parser.add_argument("--detected", action="store_true",
+                    help="use the detected-correspondence path (USE_ANNO=0) instead of annotations")
 args = parser.parse_args()
 
 import jax
@@ -22,7 +24,7 @@ import jax
 if not args.tpu:
     jax.config.update("jax_platforms", "cpu")
 
-from diasss_tpu.config import PipelineConfig
+from diasss_tpu.config import DetectorConfig, MatcherConfig, PipelineConfig, PoseGraphConfig
 from diasss_tpu.frame import build_keyframe
 from diasss_tpu.pipeline import run_slam
 from diasss_tpu.synthetic import make_survey
@@ -44,8 +46,15 @@ frames = [
 ]
 print(f"keyframes built ({time.perf_counter()-t0:.2f}s)")
 
+cfg = PipelineConfig()
+if args.detected:
+    cfg = PipelineConfig(
+        detector=DetectorConfig(n_features=800, desc_size_scale=8.0 / 31.0),
+        matcher=MatcherConfig(ratio_excl_radius=2.0, ratio_test=0.6, sift_dist_bound=450.0),
+        pose_graph=PoseGraphConfig(use_anno=False),
+    )
 t0 = time.perf_counter()
-result = run_slam(frames, PipelineConfig(), gt_rows_list=[l.gt_poses for l in survey.lines])
+result = run_slam(frames, cfg, gt_rows_list=[l.gt_poses for l in survey.lines])
 print(f"SLAM solved ({time.perf_counter()-t0:.2f}s)")
 
 print(f"\npairs gated in: {result.pair_ids}")
