@@ -116,6 +116,7 @@ class PoseGraphConfig:
     max_gn_iters: int = 30  # outer LM iterations of the batch solver
     cg_tol: float = 1e-6
     cg_max_iters: int = 250
+    preconditioner: str = "tridiag"  # "tridiag" (exact chain solve) | "jacobi"
     seed: int = 0  # initial-noise PRNG seed
 
 
@@ -132,3 +133,23 @@ class PipelineConfig:
 
 
 DEFAULT = PipelineConfig()
+
+
+def pair_mode_config() -> PipelineConfig:
+    """The pairwise-variant constants of ``Optimizer::TrajOptimizationPair``
+    (optimizer.cpp:321-334): USE_ANNO=0, looser odometry noise
+    (0.01deg/0.05deg, 0.05 m xy, 0.01 m z) and 5 m / 5 deg injected initial
+    noise."""
+    return PipelineConfig(
+        pose_graph=PoseGraphConfig(
+            odo_sigma_ro_deg=0.01,
+            odo_sigma_pi_deg=0.01,
+            odo_sigma_ya_deg=0.05,
+            odo_sigma_x=0.05,
+            odo_sigma_y=0.05,
+            odo_sigma_z=0.01,
+            init_noise_xyz=5.0,
+            init_noise_rpy_deg=5.0,
+            use_anno=False,
+        )
+    )

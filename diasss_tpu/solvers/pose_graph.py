@@ -199,12 +199,29 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig())
         poses, err, lam = carry
         idx_i, idx_j, r, Ji, Jj = _build_normal_terms(poses, graph)
         g, D = _gradient_and_diag(idx_i, idx_j, r, Ji, Jj, P, fixed0=True)
-        # block-Jacobi preconditioner of H + lam D: invert (1+lam) * D blocks
         Dp = D * (1.0 + lam) + 1e-6 * jnp.eye(6, dtype=D.dtype)
-        L = jnp.linalg.cholesky(Dp)
 
-        def precond(v):
-            return jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
+        if cfg.preconditioner == "tridiag":
+            # exact chain preconditioner: the odometry part of H is exactly
+            # block-tridiagonal, solved in log2(P) batched levels (cyclic
+            # reduction) — PCG iterations are then governed by the loop-closure
+            # corrections, not the chain length
+            from .tridiag import solve_block_tridiag
+
+            U = jnp.einsum(
+                "fab,fac->fbc", Ji[: P - 1], Jj[: P - 1], precision=_HI
+            )
+            # pose 0 is the gauge: decouple it (D row is identity in Dp)
+            U = U.at[0].set(0.0)
+
+            def precond(v):
+                return solve_block_tridiag(Dp, U, v)
+
+        else:
+            L = jnp.linalg.cholesky(Dp)
+
+            def precond(v):
+                return jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
 
         matvec = _make_matvec(idx_i, idx_j, Ji, Jj, P, lam, D, fixed0=True)
         delta, cg_k = _pcg(matvec, -g, precond, cfg.cg_tol, cfg.cg_max_iters)

@@ -1,0 +1,120 @@
+"""Block-tridiagonal solve via cyclic reduction — TPU-parallel chain algebra.
+
+The pose-graph Hessian is (block-tridiagonal chain from odometry) + (sparse
+loop-closure terms).  The chain part is exactly solvable in ``log2(P)`` levels
+of *batched* 6x6 linear algebra with cyclic reduction — each level eliminates
+the odd-indexed blocks simultaneously — in contrast to the sequential Thomas
+algorithm.  Used as the CG preconditioner in
+:mod:`diasss_tpu.solvers.pose_graph`: with the chain solved exactly, PCG
+iteration count is governed by the (few) loop-closure corrections instead of
+the chain length (SURVEY §5 long-context row).
+
+Convention: symmetric system ``T x = b`` with diagonal blocks ``D[i]`` (P, 6, 6)
+and super-diagonal blocks ``U[i]`` coupling (i, i+1) (P-1, 6, 6); the
+sub-diagonal is ``U[i]^T``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
+
+def _solve_blocks(D, X):
+    """Batched solve D_i Y_i = X_i for (..., 6, 6) or (..., 6) rhs."""
+    L = jnp.linalg.cholesky(D)
+    if X.ndim == D.ndim:
+        return jax.scipy.linalg.cho_solve((L, True), X)
+    return jax.scipy.linalg.cho_solve((L, True), X[..., None])[..., 0]
+
+
+def solve_block_tridiag(D: jnp.ndarray, U: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve the SPD block-tridiagonal system; returns x with b's shape.
+
+    Pure recursion over halved systems — trace-time depth is ceil(log2(P)), and
+    every level is one batch of 6x6 Cholesky factorizations and GEMMs.
+    """
+    P = D.shape[0]
+    if P == 1:
+        return _solve_blocks(D, b)
+    if P == 2:
+        # dense 12x12 solve
+        A = jnp.block([[D[0], U[0]], [U[0].swapaxes(-1, -2), D[1]]])
+        x = jnp.linalg.solve(A, jnp.concatenate([b[0], b[1]])[:, None])[:, 0]
+        return jnp.stack([x[:6], x[6:]])
+
+    odd = jnp.arange(1, P, 2)
+    even = jnp.arange(0, P, 2)
+    n_odd = odd.shape[0]
+    n_even = even.shape[0]
+
+    D_odd = D[odd]
+    b_odd = b[odd]
+    # couplings of odd i to its even neighbors: left U[i-1] (always exists),
+    # right U[i] (missing when i == P-1)
+    U_left = U[odd - 1]  # (n_odd, 6, 6): block (i-1, i)
+    has_right = odd + 1 < P
+    U_right = jnp.where(
+        has_right[:, None, None], U[jnp.minimum(odd, U.shape[0] - 1)], 0.0
+    )  # block (i, i+1)
+
+    # D_odd^-1 applied to couplings and rhs
+    Dinv_Ul = _solve_blocks(D_odd, U_left.swapaxes(-1, -2))  # D^-1 U_left^T
+    Dinv_Ur = _solve_blocks(D_odd, U_right)  # D^-1 U_right
+    Dinv_b = _solve_blocks(D_odd, b_odd)
+
+    # reduced system on even indices
+    D_new = D[even]
+    b_new = b[even]
+    # contribution from odd block i = even_left + 1 (exists when even j has a
+    # right odd neighbor, i.e. j + 1 < P):
+    # D'_j -= U_j D_{j+1}^-1 U_j^T ; b'_j -= U_j D_{j+1}^-1 b_{j+1}
+    has_rodd = even + 1 < P
+    k_r = jnp.minimum((even + 1 - 1) // 2, n_odd - 1)  # odd neighbor index in odd-array
+    corr_D_r = _mm(U[jnp.minimum(even, U.shape[0] - 1)], Dinv_Ul[k_r])
+    corr_b_r = jnp.einsum(
+        "kab,kb->ka", U[jnp.minimum(even, U.shape[0] - 1)], Dinv_b[k_r], precision=_HI
+    )
+    D_new = D_new - jnp.where(has_rodd[:, None, None], corr_D_r, 0.0)
+    b_new = b_new - jnp.where(has_rodd[:, None], corr_b_r, 0.0)
+
+    # contribution from odd block i = even_left - 1 (exists when j - 1 >= 0):
+    # D'_j -= U_{j-1}^T D_{j-1}^-1 U_{j-1} ; b'_j -= U_{j-1}^T D_{j-1}^-1 b_{j-1}
+    has_lodd = even - 1 >= 0
+    k_l = jnp.maximum((even - 1 - 1) // 2, 0)
+    Ul_T = U[jnp.maximum(even - 1, 0)].swapaxes(-1, -2)
+    # D_{j-1}^-1 U_{j-1} is the "right coupling" solve of odd block j-1
+    corr_D_l = _mm(Ul_T, Dinv_Ur[k_l])
+    corr_b_l = jnp.einsum(
+        "kab,kb->ka", Ul_T, Dinv_b[k_l], precision=_HI
+    )
+    D_new = D_new - jnp.where(has_lodd[:, None, None], corr_D_l, 0.0)
+    b_new = b_new - jnp.where(has_lodd[:, None], corr_b_l, 0.0)
+
+    # new couplings between consecutive even blocks j, j+2 (via odd j+1):
+    # U'_k = -U_j D_{j+1}^-1 U_{j+1}   for k = j/2, valid when j+2 < P
+    j_idx = even[:-1]
+    U_new = -_mm(U[j_idx], Dinv_Ur[jnp.minimum(j_idx // 2, n_odd - 1)])
+    # guard: when j+1 == P-1 has no right coupling, U_right row was zeroed -> fine
+
+    x_even = solve_block_tridiag(D_new, U_new, b_new)
+
+    # back-substitute odd unknowns:
+    # x_i = D_i^-1 (b_i - U_{i-1}^T x_{i-1} - U_i x_{i+1})
+    x_left = x_even[jnp.minimum((odd - 1) // 2, n_even - 1)]
+    x_right_idx = jnp.minimum((odd + 1) // 2, n_even - 1)
+    x_right = jnp.where(has_right[:, None], x_even[x_right_idx], 0.0)
+    rhs = b_odd - jnp.einsum("kab,ka->kb", U_left, x_left, precision=_HI)
+    rhs = rhs - jnp.einsum("kab,kb->ka", U_right, x_right, precision=_HI)
+    x_odd = _solve_blocks(D_odd, rhs)
+
+    x = jnp.zeros_like(b)
+    x = x.at[even].set(x_even)
+    x = x.at[odd].set(x_odd)
+    return x

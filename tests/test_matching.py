@@ -32,18 +32,20 @@ class TestGeoNN:
         assert int(res.corres[0]) == 2
         assert int(res.n_candidates[0]) == 3
 
-    def test_ratio_test_rejects_ambiguous(self, rng):
-        base = mk_desc(rng, 1)
-        desc_r = np.concatenate([base, base * 1.001]).astype(np.float32)  # two near-identical
-        desc_q = base
+    def test_ratio_test_rejects_ambiguous(self):
+        """Two candidates equidistant from the query (ratio 1) must be rejected."""
+        q = np.full((1, 128), 40.0, np.float32)
+        e = np.zeros((1, 128), np.float32)
+        e[0, 0] = 100.0
+        desc_r = np.concatenate([q + e, q - e])  # both at L2 distance 100
         geo_r = jnp.asarray([[0.0, 0], [1, 0]], jnp.float32)
         geo_q = jnp.asarray([[0.5, 0]], jnp.float32)
         bbox = jnp.asarray([-10.0, 10, -10, 10])
         res = geo_nn_search(
-            jnp.asarray(geo_q), jnp.asarray(desc_q), jnp.ones(1, bool),
+            geo_q, jnp.asarray(q), jnp.ones(1, bool),
             geo_r, jnp.asarray(desc_r), jnp.ones(2, bool), bbox,
         )
-        assert int(res.corres[0]) == -1  # ratio ~1 >> 0.35
+        assert int(res.corres[0]) == -1  # ratio 1 >> 0.35
 
     def test_single_candidate_escape(self, rng):
         """candidate.size()==1 && best<bound accepts regardless of ratio

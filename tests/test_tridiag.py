@@ -1,0 +1,44 @@
+"""Cyclic-reduction block-tridiagonal solver tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diasss_tpu.solvers.tridiag import solve_block_tridiag
+
+
+def make_system(P, rng):
+    U = rng.normal(size=(max(P - 1, 0), 6, 6)) * 0.3
+    D = np.zeros((P, 6, 6))
+    for i in range(P):
+        A = rng.normal(size=(6, 6))
+        D[i] = A @ A.T + 6 * np.eye(6)
+    b = rng.normal(size=(P, 6))
+    T = np.zeros((6 * P, 6 * P))
+    for i in range(P):
+        T[6 * i : 6 * i + 6, 6 * i : 6 * i + 6] = D[i]
+    for i in range(P - 1):
+        T[6 * i : 6 * i + 6, 6 * i + 6 : 6 * i + 12] = U[i]
+        T[6 * i + 6 : 6 * i + 12, 6 * i : 6 * i + 6] = U[i].T
+    return D, U, b, T
+
+
+@pytest.mark.parametrize("P", [1, 2, 3, 5, 8, 17, 64, 127])
+def test_matches_dense_solve(P, rng):
+    D, U, b, T = make_system(P, rng)
+    x_ref = np.linalg.solve(T, b.ravel()).reshape(P, 6)
+    x = np.asarray(
+        solve_block_tridiag(
+            jnp.asarray(D, jnp.float32), jnp.asarray(U, jnp.float32), jnp.asarray(b, jnp.float32)
+        )
+    )
+    np.testing.assert_allclose(x, x_ref, rtol=2e-3, atol=2e-4)
+
+
+def test_identity_system(rng):
+    P = 9
+    D = jnp.broadcast_to(jnp.eye(6), (P, 6, 6))
+    U = jnp.zeros((P - 1, 6, 6))
+    b = jnp.asarray(rng.normal(size=(P, 6)), jnp.float32)
+    x = solve_block_tridiag(D, U, b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(b), atol=1e-6)
