@@ -116,7 +116,11 @@ class PoseGraphConfig:
     max_gn_iters: int = 30  # outer LM iterations of the batch solver
     cg_tol: float = 1e-6
     cg_max_iters: int = 250
-    preconditioner: str = "tridiag"  # "tridiag" (exact chain solve) | "jacobi"
+    # "jacobi" wins on TPU at survey scale (wide batched kernels); "tridiag"
+    # (segment-parallel cyclic reduction) wins on CPU and for very long chains
+    # where CG iteration count dominates
+    preconditioner: str = "jacobi"
+    tridiag_segment: int = 256  # segment length for the segment-parallel solve
     seed: int = 0  # initial-noise PRNG seed
 
 

@@ -170,3 +170,85 @@ def trajectory_ate(est: se3.Pose3, gt_rows: np.ndarray) -> float:
     gt = se3.from_rodrigues_xyz(jnp.asarray(gt_rows, jnp.float32))
     d = np.asarray(est.t) - np.asarray(gt.t)
     return float(np.sqrt(np.mean(np.sum(d * d, axis=1))))
+
+
+def eval_landmark_consistency_stacked(
+    pairs_cat: np.ndarray,  # (K, 7) concatenated valid rows of all frame pairs
+    src_frame: np.ndarray,  # (K,) source frame index per row
+    tgt_frame: np.ndarray,  # (K,) target frame index per row
+    blocks: list,  # [(key, start, stop)] slices into the K rows per frame pair
+    geo_all: jnp.ndarray,  # (F, N, M, 2)
+    gras_all: jnp.ndarray,  # (F, G)
+    est_poses: se3.Pose3,  # (P,) global solved poses
+    frame_offsets: np.ndarray,  # (F,) global pose offset of each frame
+    n_bins: int,
+):
+    """eval_1 for every frame pair in ONE device dispatch (same math as
+    :func:`eval_landmark_consistency`, gathers over stacked frame tensors)."""
+    from .geometry import so3
+
+    if len(pairs_cat) == 0:
+        return {key: eval_landmark_consistency(np.zeros((0, 7)), None, None, None, None, None, None, n_bins) for key, _, _ in blocks}
+
+    p = jnp.asarray(pairs_cat)
+    sf = jnp.asarray(src_frame)
+    tf = jnp.asarray(tgt_frame)
+    id_s = p[:, 0].astype(jnp.int32)
+    bin_s = p[:, 1].astype(jnp.int32)
+    id_t = p[:, 3].astype(jnp.int32)
+    bin_t = p[:, 4].astype(jnp.int32)
+
+    g_s = geo_all[sf, id_s, bin_s]
+    g_t = geo_all[tf, id_t, bin_t]
+    ini_xy = g_s - g_t
+    ini = jnp.linalg.norm(ini_xy, axis=-1)
+
+    off = jnp.asarray(frame_offsets)
+    pose_s = est_poses[off[sf] + id_s]
+    pose_t = est_poses[off[tf] + id_t]
+    proj_s = _project_rows(pose_s, bin_s, gras_all, sf, n_bins)
+    proj_t = _project_rows(pose_t, bin_t, gras_all, tf, n_bins)
+    fnl_xy = proj_s - proj_t
+    fnl = jnp.linalg.norm(fnl_xy, axis=-1)
+
+    ini_np, fnl_np = np.asarray(ini), np.asarray(fnl)
+    ini_xy_np, fnl_xy_np = np.asarray(ini_xy), np.asarray(fnl_xy)
+
+    out = {}
+    for key, a, b in blocks:
+        if b <= a:
+            nan = float("nan")
+            out[key] = Eval1Result(nan, 0, nan, nan, nan, nan, nan, nan, np.zeros(0), np.zeros(0))
+            continue
+        i_sl = ini_np[a:b]
+        f_sl = fnl_np[a:b]
+        ixy = ini_xy_np[a:b]
+        fxy = fnl_xy_np[a:b]
+        out[key] = Eval1Result(
+            improved_pct=float((i_sl > f_sl).mean() * 100.0),
+            n_pairs=int(b - a),
+            avg_x_dr=float(np.abs(ixy[:, 0]).mean()),
+            avg_x_est=float(np.abs(fxy[:, 0]).mean()),
+            avg_y_dr=float(np.abs(ixy[:, 1]).mean()),
+            avg_y_est=float(np.abs(fxy[:, 1]).mean()),
+            avg_norm_dr=float(i_sl.mean()),
+            avg_norm_est=float(f_sl.mean()),
+            ini_dists=i_sl,
+            fnl_dists=f_sl,
+        )
+    return out
+
+
+def _project_rows(pose: se3.Pose3, col, gras_all, frame_idx, n_bins: int):
+    """project_landmark_geo with a per-row ground-range table gather."""
+    from .geometry import so3
+
+    half = n_bins // 2
+    g_idx = jnp.clip(jnp.abs(col - half), 0, gras_all.shape[1] - 1)
+    gr = gras_all[frame_idx, g_idx]
+    yaw = so3.yaw(pose.R)
+    port_side = col < half
+    ang = jnp.where(port_side, yaw + jnp.pi / 2 - jnp.pi, yaw - jnp.pi / 2 - jnp.pi)
+    x = pose.t[:, 0] + gr * jnp.cos(ang)
+    y = pose.t[:, 1] + gr * jnp.sin(ang)
+    return jnp.stack([x, y], axis=-1)

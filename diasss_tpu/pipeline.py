@@ -50,13 +50,37 @@ class SlamResult:
 
 
 def _overlap_pairs(frames: List[Keyframe], min_overlap: float) -> List[Tuple[int, int]]:
-    """Pair gating by geo bbox IoU (diasss2.cpp:88-97)."""
+    """Pair gating by geo bbox IoU (diasss2.cpp:88-97).
+
+    One device reduction computes every frame's bbox; the IoU arithmetic is
+    host-side scalars (the naive per-pair version costs one device dispatch —
+    and one tunnel round trip — per pair).
+    """
+    bboxes = [
+        jnp.stack(
+            [
+                jnp.min(f.geo[..., 0]),
+                jnp.max(f.geo[..., 0]),
+                jnp.min(f.geo[..., 1]),
+                jnp.max(f.geo[..., 1]),
+            ]
+        )
+        for f in frames
+    ]
+    bb = np.asarray(jnp.stack(bboxes))  # (F, 4) — single transfer
     out = []
     for i in range(len(frames)):
         for j in range(i + 1, len(frames)):
-            iou = float(sonar.bbox_iou_overlap(frames[i].geo, frames[j].geo))
-            if iou > min_overlap:
-                out.append((i, j))
+            ax0, ax1, ay0, ay1 = bb[i]
+            bx0, bx1, by0, by1 = bb[j]
+            x_ol = min(ax1, bx1) - max(ax0, bx0)
+            y_ol = min(ay1, by1) - max(ay0, by0)
+            if x_ol > 0 and y_ol > 0:
+                a_ol = x_ol * y_ol
+                a_a = abs(ax1 - ax0) * abs(ay1 - ay0)
+                a_b = abs(bx1 - bx0) * abs(by1 - by0)
+                if a_ol / (a_a + a_b - a_ol) > min_overlap:
+                    out.append((i, j))
     return out
 
 
@@ -168,7 +192,8 @@ def run_slam(
             kp_cfg=cfg.kp_noise,
             cfg=cfg.loop_closure,
         )
-        jax.block_until_ready(stacked.quality)
+        # one device->host transfer for the whole survey, then numpy slicing
+        stacked = jax.tree_util.tree_map(lambda a: np.asarray(a), stacked)
         for k, key in enumerate(pair_ids):
             sl = slice(k * cap_blk, (k + 1) * cap_blk)
             lc_results[key] = jax.tree_util.tree_map(lambda a: a[sl], stacked)
@@ -263,15 +288,40 @@ def run_slam(
     t0 = time.perf_counter()
     eval1: Dict[Tuple[int, int], Eval1Result] = {}
     eval2: Dict[Tuple[int, int], Eval2Result] = {}
+    if same_shape and pair_ids:
+        from .evaluate import eval_landmark_consistency_stacked
+
+        rows_list, sf_list, tf_list, blocks = [], [], [], []
+        start = 0
+        for (i, j) in pair_ids:
+            kp = kps_pairs[(i, j)]
+            rows = kp.pairs[kp.valid]
+            rows_list.append(rows)
+            sf_list.append(np.full(len(rows), i, np.int32))
+            tf_list.append(np.full(len(rows), j, np.int32))
+            blocks.append(((i, j), start, start + len(rows)))
+            start += len(rows)
+        eval1 = eval_landmark_consistency_stacked(
+            np.concatenate(rows_list) if rows_list else np.zeros((0, 7)),
+            np.concatenate(sf_list) if sf_list else np.zeros(0, np.int32),
+            np.concatenate(tf_list) if tf_list else np.zeros(0, np.int32),
+            blocks,
+            jnp.stack([f.geo for f in frames]),
+            jnp.stack([f.ground_ranges for f in frames]),
+            poses,
+            offsets[:-1],
+            frames[0].raw.shape[1],
+        )
     for (i, j) in pair_ids:
         kp = kps_pairs[(i, j)]
         rows = kp.pairs[kp.valid]
         fs, ft = frames[i], frames[j]
         est_s = poses[frame_slices[i]]
         est_t = poses[frame_slices[j]]
-        eval1[(i, j)] = eval_landmark_consistency(
-            rows, fs.geo, ft.geo, fs.ground_ranges, ft.ground_ranges, est_s, est_t, fs.raw.shape[1]
-        )
+        if (i, j) not in eval1:
+            eval1[(i, j)] = eval_landmark_consistency(
+                rows, fs.geo, ft.geo, fs.ground_ranges, ft.ground_ranges, est_s, est_t, fs.raw.shape[1]
+            )
         if run_eval2:
             eval2[(i, j)] = eval_triangulated_consistency(
                 rows,

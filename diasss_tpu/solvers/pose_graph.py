@@ -206,7 +206,7 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig())
             # block-tridiagonal, solved in log2(P) batched levels (cyclic
             # reduction) — PCG iterations are then governed by the loop-closure
             # corrections, not the chain length
-            from .tridiag import solve_block_tridiag
+            from .tridiag import solve_block_tridiag_segmented
 
             U = jnp.einsum(
                 "fab,fac->fbc", Ji[: P - 1], Jj[: P - 1], precision=_HI
@@ -215,7 +215,7 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig())
             U = U.at[0].set(0.0)
 
             def precond(v):
-                return solve_block_tridiag(Dp, U, v)
+                return solve_block_tridiag_segmented(Dp, U, v, cfg.tridiag_segment)
 
         else:
             L = jnp.linalg.cholesky(Dp)
@@ -241,18 +241,40 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig())
         lam = jnp.where(good, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 10.0, 1e6))
         return (poses, err, lam), (jnp.linalg.norm(g), cg_k)
 
-    (poses, err, _), (gnorms, cg_iters) = jax.lax.scan(
-        trial,
-        (graph.poses0, err0, jnp.asarray(1e-4, graph.poses0.t.dtype)),
-        None,
-        length=cfg.max_gn_iters,
+    # while_loop with convergence exit: stop when two consecutive accepted
+    # trials improve the error by < rel_exit_tol (relative), or on iteration cap
+    rel_exit_tol = 1e-6
+
+    def w_cond(state):
+        _, _, _, k, stall, _, _ = state
+        return (k < cfg.max_gn_iters) & (stall < 2)
+
+    def w_body(state):
+        poses, err, lam, k, stall, cg_total, gnorm = state
+        (poses2, err2, lam2), (g_n, cg_k) = trial((poses, err, lam), None)
+        improved = (err - err2) > rel_exit_tol * jnp.maximum(err, 1e-30)
+        stall = jnp.where(improved, 0, stall + 1)
+        return poses2, err2, lam2, k + 1, stall, cg_total + cg_k, g_n
+
+    poses, err, _, iters, _, cg_total, gnorm = jax.lax.while_loop(
+        w_cond,
+        w_body,
+        (
+            graph.poses0,
+            err0,
+            jnp.asarray(1e-4, graph.poses0.t.dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0.0, graph.poses0.t.dtype),
+        ),
     )
     info = SolveInfo(
         error0=err0,
         error=err,
-        iterations=jnp.asarray(cfg.max_gn_iters),
-        cg_iters_total=jnp.sum(cg_iters),
-        grad_norm=gnorms[-1],
+        iterations=iters,
+        cg_iters_total=cg_total,
+        grad_norm=gnorm,
     )
     return poses, info
 

@@ -145,3 +145,15 @@ class TestDetector:
         for (y, x) in [(200, 120), (180, 180), (220, 60)]:
             d = np.min(np.hypot(xy[:, 0] - x, xy[:, 1] - y))
             assert d <= 4.0, (x, y, d)
+
+
+class TestFastPallas:
+    def test_matches_xla_in_interpret_mode(self):
+        """Pallas kernel (interpreter) must reproduce the XLA scores exactly."""
+        from diasss_tpu.features.fast_pallas import fast_score_pallas
+
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 255, (96, 256)), jnp.float32)
+        x = np.asarray(fast_score(img, 12.0))[8:-8, 8:-8]
+        p = np.asarray(fast_score_pallas(img, 12.0, tile=32, interpret=True))[8:-8, 8:-8]
+        np.testing.assert_allclose(p, x, atol=1e-4)
