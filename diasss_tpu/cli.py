@@ -29,6 +29,8 @@ def main(argv=None) -> int:
     parser.add_argument("--metrics", default=None, help="write metrics JSON here")
     parser.add_argument("--cpu", action="store_true", help="force the CPU platform")
     parser.add_argument("--no-eval2", action="store_true", help="skip triangulated-consistency eval")
+    parser.add_argument("--trace", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the solve into DIR")
     args = parser.parse_args(argv)
 
     import jax
@@ -64,13 +66,24 @@ def main(argv=None) -> int:
     print(f"keyframes built ({time.perf_counter()-t0:.2f}s)")
 
     t0 = time.perf_counter()
-    result = run_slam(
-        frames,
-        PipelineConfig(),
-        gt_rows_list=gt_rows,
-        out_dir=args.out,
-        run_eval2=not args.no_eval2,
-    )
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            result = run_slam(
+                frames,
+                PipelineConfig(),
+                gt_rows_list=gt_rows,
+                out_dir=args.out,
+                run_eval2=not args.no_eval2,
+            )
+        print(f"profiler trace written to {args.trace}")
+    else:
+        result = run_slam(
+            frames,
+            PipelineConfig(),
+            gt_rows_list=gt_rows,
+            out_dir=args.out,
+            run_eval2=not args.no_eval2,
+        )
     print(f"SLAM solved ({time.perf_counter()-t0:.2f}s)")
 
     print(f"pairs: {result.pair_ids}; loop closures accepted: {result.n_lc_accepted}")

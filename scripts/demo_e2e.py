@@ -5,6 +5,11 @@ The runtime surface for verifying pipeline changes (see .claude/skills/verify).
 Usage: python scripts/demo_e2e.py [--lines N] [--pings N] [--tpu]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time

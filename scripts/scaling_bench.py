@@ -16,6 +16,11 @@ multi-chip slice.
 Usage: python scripts/scaling_bench.py [--pings N] [--lc K]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 import time
