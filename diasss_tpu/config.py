@@ -118,8 +118,8 @@ class PoseGraphConfig:
     cg_max_iters: int = 250
     # "jacobi" wins on TPU at survey scale (wide batched kernels); "tridiag"
     # (segment-parallel cyclic reduction) wins on CPU and for very long chains
-    # where CG iteration count dominates
-    preconditioner: str = "jacobi"
+    # where CG iteration count dominates; "auto" picks by backend
+    preconditioner: str = "auto"
     tridiag_segment: int = 256  # segment length for the segment-parallel solve
     seed: int = 0  # initial-noise PRNG seed
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fast import CIRCLE, N_CONTIG
+from .fast import CIRCLE
 
 HALO = 3
 

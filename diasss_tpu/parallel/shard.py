@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import KeypointNoiseConfig, LoopClosureConfig, PoseGraphConfig
-from ..geometry import se3
+
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:

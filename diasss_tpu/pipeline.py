@@ -24,7 +24,7 @@ import numpy as np
 from .config import PipelineConfig
 from .evaluate import Eval1Result, Eval2Result, eval_landmark_consistency, eval_triangulated_consistency, trajectory_ate
 from .frame import Keyframe
-from .geometry import se3, sonar
+from .geometry import se3
 from .pairs import KpsPairs, get_kps_pairs
 from .solvers.lc import LCResult, loop_closing_tfs
 from .solvers.pose_graph import build_chain_graph, solve_pose_graph

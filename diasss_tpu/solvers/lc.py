@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import KeypointNoiseConfig, LoopClosureConfig
-from ..factors.between import between_residual, prior_residual
+from ..factors.between import between_residual
 from ..factors.sss_point import kp_noise_sigmas, sss_point_residual
 from ..geometry import se3, sonar
 

@@ -201,7 +201,11 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig())
         g, D = _gradient_and_diag(idx_i, idx_j, r, Ji, Jj, P, fixed0=True)
         Dp = D * (1.0 + lam) + 1e-6 * jnp.eye(6, dtype=D.dtype)
 
-        if cfg.preconditioner == "tridiag":
+        precond_kind = cfg.preconditioner
+        if precond_kind == "auto":
+            # trace-time platform choice (see PoseGraphConfig.preconditioner)
+            precond_kind = "jacobi" if jax.default_backend() == "tpu" else "tridiag"
+        if precond_kind == "tridiag":
             # exact chain preconditioner: the odometry part of H is exactly
             # block-tridiagonal, solved in log2(P) batched levels (cyclic
             # reduction) — PCG iterations are then governed by the loop-closure
