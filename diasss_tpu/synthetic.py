@@ -60,12 +60,21 @@ def make_survey(
     r0: float = 5.0,
     drift_xy: float = 0.004,
     drift_yaw: float = 2e-5,
+    n_tie_lines: int = 0,
     seed: int = 0,
 ) -> Survey:
     """Generate a synthetic survey.
 
     Drift model: per-ping random-walk increments in (x, y, yaw), integrated along
     each line and carried across lines — mimicking DVL/INS dead-reckoning error.
+
+    ``n_tie_lines`` appends perpendicular crossing lines (yaw +-pi/2) spread over
+    the survey — standard hydrographic practice.  Crossing geometry makes BOTH
+    horizontal drift components observable by the sonar plane constraint (an
+    E-W line's zero-plane residual only pins x; a N-S tie line pins y), so loop
+    closures recover much more of the drift than parallel-pass-only surveys.
+    NOTE: a main-vs-tie bbox IoU is ~0.2, so tie-line pairs require lowering the
+    reference's 0.4 overlap gate (PipelineConfig.min_overlap).
     """
     rng = np.random.default_rng(seed)
     half = n_bins // 2
@@ -80,14 +89,31 @@ def make_survey(
     ly = rng.uniform(-g_max, (n_lines - 1) * spacing + g_max, n_landmarks)
     landmarks = np.stack([lx, ly, np.full(n_landmarks, floor_z)], axis=1)
 
+    # line specs: (origin_x, origin_y, yaw); mains alternate 0/pi, ties +-pi/2
+    y_mid = (n_lines - 1) * spacing / 2
+    specs = []
+    for l in range(n_lines):
+        forward = l % 2 == 0
+        specs.append(
+            (0.0 if forward else length, l * spacing, 0.0 if forward else np.pi)
+        )
+    for t in range(n_tie_lines):
+        tx = length * (t + 1) / (n_tie_lines + 1)
+        up = t % 2 == 0
+        specs.append(
+            (tx, y_mid - length / 2 if up else y_mid + length / 2, np.pi / 2 if up else -np.pi / 2)
+        )
+
     # world-anchored seabed reflectivity field: real SSS texture is a property
     # of the seafloor, so different passes over the same area see correlated
     # intensity patterns (this is what makes descriptor matching physically
     # possible); per-ping speckle multiplies it, view-dependent
     tex_res = 0.7  # meters per texture cell
-    tx0, ty0 = -5.0, -(g_max + 5.0)
-    tw = int((length + 10.0) / tex_res) + 2
-    th = int(((n_lines - 1) * spacing + 2 * g_max + 10.0) / tex_res) + 2
+    ty_lo = min(-(g_max + 5.0), y_mid - length / 2 - g_max - 5.0)
+    ty_hi = max((n_lines - 1) * spacing + g_max + 5.0, y_mid + length / 2 + g_max + 5.0)
+    tx0, ty0 = -(g_max + 5.0), ty_lo
+    tw = int((length + 2 * g_max + 10.0) / tex_res) + 2
+    th = int((ty_hi - ty_lo) / tex_res) + 2
     tex = rng.uniform(0.0, 1.0, (th, tw))
     # smooth to a ~1.5 m correlation length
     kern = np.exp(-0.5 * (np.arange(-2, 3) ** 2))
@@ -115,15 +141,14 @@ def make_survey(
     lines: List[SurveyLine] = []
     drift = np.zeros(3)  # accumulated (dx, dy, dyaw), carried across lines
     all_obs = []  # (line, ping, bin, landmark_idx) observation events
-    for l in range(n_lines):
-        forward = l % 2 == 0
-        xs = np.arange(n_pings) * ping_step if forward else length - np.arange(n_pings) * ping_step
-        ys = np.full(n_pings, l * spacing)
-        yaw = 0.0 if forward else np.pi
+    for l, (ox, oy, yaw) in enumerate(specs):
+        s = np.arange(n_pings) * ping_step
+        xs = ox + s * np.cos(yaw)
+        ys = oy + s * np.sin(yaw)
         gt = np.zeros((n_pings, 6))
         gt[:, 2] = yaw + rng.normal(0, 0.002, n_pings)  # small heading wiggle
-        gt[:, 3] = xs
-        gt[:, 4] = ys + rng.normal(0, 0.02, n_pings)
+        gt[:, 3] = xs + rng.normal(0, 0.02, n_pings) * abs(np.sin(yaw))
+        gt[:, 4] = ys + rng.normal(0, 0.02, n_pings) * abs(np.cos(yaw))
         gt[:, 5] = 0.0
 
         # integrate drift
@@ -223,7 +248,7 @@ def make_survey(
     obs_by_lm: dict = {}
     for l, pi, b, li in all_obs:
         obs_by_lm.setdefault(li, []).append((l, pi, b))
-    annos_per_line = [[] for _ in range(n_lines)]
+    annos_per_line = [[] for _ in range(len(specs))]
     for li, obs in obs_by_lm.items():
         depth_int = int(round(-landmarks[li, 2] * 1e5))  # reference stores depth*1e5
         for a in range(len(obs)):
@@ -233,7 +258,7 @@ def make_survey(
                     continue
                 annos_per_line[l1].append((l1, l2, p1, b1, p2, b2, depth_int))
                 annos_per_line[l2].append((l2, l1, p2, b2, p1, b1, depth_int))
-    for l in range(n_lines):
+    for l in range(len(specs)):
         if annos_per_line[l]:
             lines[l].annos = np.asarray(annos_per_line[l], np.int64)
 

@@ -22,6 +22,9 @@ parser.add_argument("--landmarks", type=int, default=50)
 parser.add_argument("--tpu", action="store_true", help="run on the real TPU (default: CPU)")
 parser.add_argument("--detected", action="store_true",
                     help="use the detected-correspondence path (USE_ANNO=0) instead of annotations")
+parser.add_argument("--estimator", default="two_stage", choices=["two_stage", "full_ba"],
+                    help="two_stage = reference-parity; full_ba = joint BA (beyond-reference)")
+parser.add_argument("--ties", type=int, default=0, help="number of crossing tie lines")
 args = parser.parse_args()
 
 import jax
@@ -37,7 +40,8 @@ from diasss_tpu.synthetic import make_survey
 print(f"devices: {jax.devices()}")
 t0 = time.perf_counter()
 survey = make_survey(
-    n_lines=args.lines, n_pings=args.pings, n_bins=args.bins, n_landmarks=args.landmarks
+    n_lines=args.lines, n_pings=args.pings, n_bins=args.bins, n_landmarks=args.landmarks,
+    n_tie_lines=args.ties,
 )
 print(f"synthetic survey: {args.lines} lines x {args.pings} pings x {args.bins} bins "
       f"({time.perf_counter()-t0:.2f}s)")
@@ -51,9 +55,14 @@ frames = [
 ]
 print(f"keyframes built ({time.perf_counter()-t0:.2f}s)")
 
-cfg = PipelineConfig()
+import dataclasses
+
+cfg = PipelineConfig(estimator=args.estimator)
+if args.ties:
+    cfg = dataclasses.replace(cfg, min_overlap=0.1)
 if args.detected:
-    cfg = PipelineConfig(
+    cfg = dataclasses.replace(
+        cfg,
         detector=DetectorConfig(n_features=800, desc_size_scale=8.0 / 31.0),
         matcher=MatcherConfig(ratio_excl_radius=2.0, ratio_test=0.6, sift_dist_bound=450.0),
         pose_graph=PoseGraphConfig(use_anno=False),
