@@ -85,6 +85,21 @@ def sharded_pose_graph_solve(mesh: Mesh, graph, cfg: PoseGraphConfig = PoseGraph
     """
     from ..solvers.pose_graph import solve_pose_graph
 
+    # pad the LC factor batch to a mesh multiple (padded slots are invalid)
+    n_dev = mesh.devices.size
+    n_lc = graph.lc_i.shape[0]
+    pad = (-n_lc) % n_dev
+    if pad:
+        graph = graph._replace(
+            lc_i=jnp.concatenate([graph.lc_i, jnp.zeros(pad, graph.lc_i.dtype)]),
+            lc_j=jnp.concatenate([graph.lc_j, jnp.zeros(pad, graph.lc_j.dtype)]),
+            lc_meas=jax.tree_util.tree_map(
+                lambda a: jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad, *a.shape[1:]))]),
+                graph.lc_meas,
+            ),
+            lc_sigmas=jnp.concatenate([graph.lc_sigmas, jnp.ones((pad, 6), graph.lc_sigmas.dtype)]),
+            lc_valid=jnp.concatenate([graph.lc_valid, jnp.zeros(pad, bool)]),
+        )
     lc_sharded = _shard_leading(
         mesh, (graph.lc_i, graph.lc_j, graph.lc_meas, graph.lc_sigmas, graph.lc_valid)
     )

@@ -1,0 +1,81 @@
+"""Sharded execution tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diasss_tpu.config import KeypointNoiseConfig, LoopClosureConfig, PoseGraphConfig
+from diasss_tpu.geometry import se3, sonar
+from diasss_tpu.parallel.shard import make_mesh, sharded_lc_solve, sharded_pose_graph_solve
+from diasss_tpu.solvers.lc import loop_closing_tfs
+from diasss_tpu.solvers.pose_graph import build_chain_graph, solve_pose_graph
+
+
+@pytest.fixture(scope="module")
+def lc_inputs():
+    n_pings, n_bins = 16, 32
+    half = n_bins // 2
+    rng = np.random.default_rng(0)
+    gras = np.linspace(5.0, 20.0, half).astype(np.float32)
+    dr_s = np.zeros((n_pings, 6), np.float32)
+    dr_s[:, 3] = np.arange(n_pings)
+    dr_t = dr_s.copy()
+    dr_t[:, 4] += 25.0
+    dr_t[:, 2] = np.pi
+    alts = np.full((n_pings,), 12.0, np.float32)
+    geo_s = sonar.geo_image(jnp.asarray(dr_s[:, 3:5]), jnp.asarray(dr_s[:, 2]), jnp.asarray(gras), n_bins)
+    geo_t = sonar.geo_image(jnp.asarray(dr_t[:, 3:5]), jnp.asarray(dr_t[:, 2]), jnp.asarray(gras), n_bins)
+    K = 16
+    sr = float(np.sqrt(12.0**2 + 12.0**2))
+    pairs = np.tile(np.asarray([3, half + 5, sr, 3, half + 5, sr, -12.0], np.float32), (K, 1))
+    pairs[:, 0] = rng.integers(1, n_pings - 1, K)
+    pairs[:, 3] = rng.integers(1, n_pings - 1, K)
+    return dict(
+        pairs=jnp.asarray(pairs), valid=jnp.ones(K, bool),
+        dr_s=jnp.asarray(dr_s), dr_t=jnp.asarray(dr_t),
+        geo_s=geo_s, geo_t=geo_t,
+        alts_s=jnp.asarray(alts), alts_t=jnp.asarray(alts), gras_t=jnp.asarray(gras),
+        n_bins=n_bins,
+    )
+
+
+class TestShardedLC:
+    def test_matches_unsharded(self, lc_inputs):
+        assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+        cfg = LoopClosureConfig(max_lm_iters=10)
+        kp = KeypointNoiseConfig()
+        ref = loop_closing_tfs(
+            lc_inputs["pairs"], lc_inputs["valid"], lc_inputs["dr_s"], lc_inputs["dr_t"],
+            lc_inputs["geo_s"], lc_inputs["geo_t"], lc_inputs["alts_s"], lc_inputs["alts_t"],
+            lc_inputs["gras_t"], n_bins=lc_inputs["n_bins"], kp_cfg=kp, cfg=cfg,
+        )
+        mesh = make_mesh(8)
+        out = sharded_lc_solve(mesh, **lc_inputs, kp_cfg=kp, cfg=cfg)
+        np.testing.assert_allclose(np.asarray(out.quality), np.asarray(ref.quality), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.rel_pose.t), np.asarray(ref.rel_pose.t), atol=1e-3)
+
+
+class TestShardedPoseGraph:
+    def test_matches_unsharded(self):
+        rng = np.random.default_rng(1)
+        n = 64
+        rows = np.zeros((n, 6))
+        rows[:, 3] = np.arange(n) * 0.5
+        gt = se3.from_rodrigues_xyz(jnp.asarray(rows, jnp.float32))
+        lc_i = np.arange(2, n - 18, 8, dtype=np.int32)
+        lc_j = (lc_i + 16).astype(np.int32)
+        meas = se3.between(gt[jnp.asarray(lc_i)], gt[jnp.asarray(lc_j)])
+        g = build_chain_graph(
+            [rows], lc_i=lc_i, lc_j=lc_j, lc_meas=meas,
+            lc_sigmas=np.full((len(lc_i), 6), 0.05, np.float32),
+            lc_valid=np.ones(len(lc_i), bool),
+            noise_key=jax.random.PRNGKey(2),
+        )
+        cfg = PoseGraphConfig(max_gn_iters=8)
+        poses_ref, info_ref = solve_pose_graph(g, cfg)
+        mesh = make_mesh(8)
+        poses_sh, info_sh = sharded_pose_graph_solve(mesh, g, cfg)
+        np.testing.assert_allclose(
+            np.asarray(poses_sh.t), np.asarray(poses_ref.t), atol=1e-3
+        )
