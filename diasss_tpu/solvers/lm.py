@@ -27,12 +27,10 @@ vmap-safe (converged problems freeze while others continue).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, TypeVar
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
-
-X = TypeVar("X")
 
 
 class LMResult(NamedTuple):
