@@ -252,3 +252,80 @@ def _project_rows(pose: se3.Pose3, col, gras_all, frame_idx, n_bins: int):
     x = pose.t[:, 0] + gr * jnp.cos(ang)
     y = pose.t[:, 1] + gr * jnp.sin(ang)
     return jnp.stack([x, y], axis=-1)
+
+
+def eval_triangulated_consistency_stacked(
+    pairs_cat: np.ndarray,  # (K, 7) concatenated valid rows
+    src_frame: np.ndarray,
+    tgt_frame: np.ndarray,
+    blocks: list,  # [(key, start, stop)]
+    dr_all: jnp.ndarray,  # (F, N, 6)
+    geo_all: jnp.ndarray,  # (F, N, M, 2)
+    alts_all: jnp.ndarray,  # (F, N)
+    est_poses: se3.Pose3,  # (P,)
+    frame_offsets: np.ndarray,
+    kp_cfg: KeypointNoiseConfig = KeypointNoiseConfig(),
+    lc_cfg: LoopClosureConfig = LoopClosureConfig(),
+):
+    """eval_2 for every frame pair in one batched triangulation run."""
+    from .solvers.triangulate import triangulate_batch
+
+    if len(pairs_cat) == 0:
+        nan = float("nan")
+        return {key: Eval2Result(nan, nan, 0, nan, nan, nan, nan) for key, _, _ in blocks}
+
+    p = jnp.asarray(pairs_cat)
+    sf = jnp.asarray(src_frame)
+    tf = jnp.asarray(tgt_frame)
+    id_s = p[:, 0].astype(jnp.int32)
+    bin_s = p[:, 1].astype(jnp.int32)
+    id_t = p[:, 3].astype(jnp.int32)
+    bin_t = p[:, 4].astype(jnp.int32)
+    sr_s, sr_t = p[:, 2], p[:, 5]
+    K = p.shape[0]
+
+    row_s = dr_all[sf, id_s]
+    row_t = dr_all[tf, id_t]
+    Tp_s_dr = se3.from_rodrigues_xyz(row_s)
+    Tp_t_dr = se3.from_rodrigues_xyz(row_t)
+    Ts = se3.identity((K,), p.dtype)
+
+    g_s = geo_all[sf, id_s, bin_s]
+    g_t = geo_all[tf, id_t, bin_t]
+    z_bar = 0.5 * ((row_s[:, 5] - alts_all[sf, id_s]) + (row_t[:, 5] - alts_all[tf, id_t]))
+    L0 = jnp.concatenate([0.5 * (g_s + g_t), z_bar[:, None]], axis=1)
+
+    off = jnp.asarray(frame_offsets)
+    est_s = est_poses[off[sf] + id_s]
+    est_t = est_poses[off[tf] + id_t]
+
+    def errors(Tp_s, Tp_t):
+        lm = triangulate_batch(Tp_s, Tp_t, Ts, Ts, sr_s, sr_t, L0, kp_cfg, lc_cfg, True)
+        l_s = se3.transform_to(Tp_s, lm)
+        l_t = se3.transform_to(Tp_t, lm)
+        range_e = 0.5 * (
+            jnp.abs(jnp.linalg.norm(l_s, axis=-1) - sr_s)
+            + jnp.abs(jnp.linalg.norm(l_t, axis=-1) - sr_t)
+        )
+        plane_e = 0.5 * (jnp.abs(l_s[:, 0]) + jnp.abs(l_t[:, 0]))
+        return np.asarray(range_e), np.asarray(plane_e)
+
+    r_dr, p_dr = errors(Tp_s_dr, Tp_t_dr)
+    r_est, p_est = errors(est_s, est_t)
+
+    out = {}
+    for key, a, b in blocks:
+        if b <= a:
+            nan = float("nan")
+            out[key] = Eval2Result(nan, nan, 0, nan, nan, nan, nan)
+            continue
+        out[key] = Eval2Result(
+            range_improved_pct=float((r_dr[a:b] > r_est[a:b]).mean() * 100.0),
+            plane_improved_pct=float((p_dr[a:b] > p_est[a:b]).mean() * 100.0),
+            n_pairs=int(b - a),
+            avg_range_dr=float(r_dr[a:b].mean()),
+            avg_range_est=float(r_est[a:b].mean()),
+            avg_plane_dr=float(p_dr[a:b].mean()),
+            avg_plane_est=float(p_est[a:b].mean()),
+        )
+    return out

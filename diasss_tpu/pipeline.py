@@ -307,10 +307,13 @@ def run_slam(
             tf_list.append(np.full(len(rows), j, np.int32))
             blocks.append(((i, j), start, start + len(rows)))
             start += len(rows)
+        rows_cat_e = np.concatenate(rows_list) if rows_list else np.zeros((0, 7))
+        sf_cat = np.concatenate(sf_list) if sf_list else np.zeros(0, np.int32)
+        tf_cat = np.concatenate(tf_list) if tf_list else np.zeros(0, np.int32)
         eval1 = eval_landmark_consistency_stacked(
-            np.concatenate(rows_list) if rows_list else np.zeros((0, 7)),
-            np.concatenate(sf_list) if sf_list else np.zeros(0, np.int32),
-            np.concatenate(tf_list) if tf_list else np.zeros(0, np.int32),
+            rows_cat_e,
+            sf_cat,
+            tf_cat,
             blocks,
             jnp.stack([f.geo for f in frames]),
             jnp.stack([f.ground_ranges for f in frames]),
@@ -318,6 +321,22 @@ def run_slam(
             offsets[:-1],
             frames[0].raw.shape[1],
         )
+        if run_eval2:
+            from .evaluate import eval_triangulated_consistency_stacked
+
+            eval2 = eval_triangulated_consistency_stacked(
+                rows_cat_e,
+                sf_cat,
+                tf_cat,
+                blocks,
+                jnp.stack([f.dr_poses for f in frames]),
+                jnp.stack([f.geo for f in frames]),
+                jnp.stack([f.altitudes for f in frames]),
+                poses,
+                offsets[:-1],
+                cfg.kp_noise,
+                cfg.loop_closure,
+            )
     for (i, j) in pair_ids:
         kp = kps_pairs[(i, j)]
         rows = kp.pairs[kp.valid]
@@ -328,7 +347,7 @@ def run_slam(
             eval1[(i, j)] = eval_landmark_consistency(
                 rows, fs.geo, ft.geo, fs.ground_ranges, ft.ground_ranges, est_s, est_t, fs.raw.shape[1]
             )
-        if run_eval2:
+        if run_eval2 and (i, j) not in eval2:
             eval2[(i, j)] = eval_triangulated_consistency(
                 rows,
                 fs.dr_poses,
