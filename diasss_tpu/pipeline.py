@@ -292,75 +292,9 @@ def run_slam(
 
     # --- evaluation (C18) ---
     t0 = time.perf_counter()
-    eval1: Dict[Tuple[int, int], Eval1Result] = {}
-    eval2: Dict[Tuple[int, int], Eval2Result] = {}
-    if same_shape and pair_ids:
-        from .evaluate import eval_landmark_consistency_stacked
-
-        rows_list, sf_list, tf_list, blocks = [], [], [], []
-        start = 0
-        for (i, j) in pair_ids:
-            kp = kps_pairs[(i, j)]
-            rows = kp.pairs[kp.valid]
-            rows_list.append(rows)
-            sf_list.append(np.full(len(rows), i, np.int32))
-            tf_list.append(np.full(len(rows), j, np.int32))
-            blocks.append(((i, j), start, start + len(rows)))
-            start += len(rows)
-        rows_cat_e = np.concatenate(rows_list) if rows_list else np.zeros((0, 7))
-        sf_cat = np.concatenate(sf_list) if sf_list else np.zeros(0, np.int32)
-        tf_cat = np.concatenate(tf_list) if tf_list else np.zeros(0, np.int32)
-        eval1 = eval_landmark_consistency_stacked(
-            rows_cat_e,
-            sf_cat,
-            tf_cat,
-            blocks,
-            jnp.stack([f.geo for f in frames]),
-            jnp.stack([f.ground_ranges for f in frames]),
-            poses,
-            offsets[:-1],
-            frames[0].raw.shape[1],
-        )
-        if run_eval2:
-            from .evaluate import eval_triangulated_consistency_stacked
-
-            eval2 = eval_triangulated_consistency_stacked(
-                rows_cat_e,
-                sf_cat,
-                tf_cat,
-                blocks,
-                jnp.stack([f.dr_poses for f in frames]),
-                jnp.stack([f.geo for f in frames]),
-                jnp.stack([f.altitudes for f in frames]),
-                poses,
-                offsets[:-1],
-                cfg.kp_noise,
-                cfg.loop_closure,
-            )
-    for (i, j) in pair_ids:
-        kp = kps_pairs[(i, j)]
-        rows = kp.pairs[kp.valid]
-        fs, ft = frames[i], frames[j]
-        est_s = poses[frame_slices[i]]
-        est_t = poses[frame_slices[j]]
-        if (i, j) not in eval1:
-            eval1[(i, j)] = eval_landmark_consistency(
-                rows, fs.geo, ft.geo, fs.ground_ranges, ft.ground_ranges, est_s, est_t, fs.raw.shape[1]
-            )
-        if run_eval2 and (i, j) not in eval2:
-            eval2[(i, j)] = eval_triangulated_consistency(
-                rows,
-                fs.dr_poses,
-                ft.dr_poses,
-                fs.geo,
-                ft.geo,
-                fs.altitudes,
-                ft.altitudes,
-                est_s,
-                est_t,
-                cfg.kp_noise,
-                cfg.loop_closure,
-            )
+    eval1, eval2 = _evaluate_pairs(
+        frames, kps_pairs, pair_ids, poses, frame_slices, offsets, cfg, run_eval2
+    )
     ate_dr = ate_est = None
     if gt_rows_list is not None:
         gt_all = np.concatenate(gt_rows_list, axis=0)
@@ -425,22 +359,9 @@ def _run_full_ba(frames, cfg, kps_pairs, pair_ids, gt_rows_list, out_dir, run_ev
     dr_rows = [np.asarray(f.dr_poses) for f in frames]
 
     t0 = time.perf_counter()
-    eval1: Dict[Tuple[int, int], Eval1Result] = {}
-    eval2: Dict[Tuple[int, int], Eval2Result] = {}
-    for (i, j) in pair_ids:
-        kp = kps_pairs[(i, j)]
-        rows = kp.pairs[kp.valid]
-        fs, ft = frames[i], frames[j]
-        est_s = poses[frame_slices[i]]
-        est_t = poses[frame_slices[j]]
-        eval1[(i, j)] = eval_landmark_consistency(
-            rows, fs.geo, ft.geo, fs.ground_ranges, ft.ground_ranges, est_s, est_t, fs.raw.shape[1]
-        )
-        if run_eval2:
-            eval2[(i, j)] = eval_triangulated_consistency(
-                rows, fs.dr_poses, ft.dr_poses, fs.geo, ft.geo, fs.altitudes, ft.altitudes,
-                est_s, est_t, cfg.kp_noise, cfg.loop_closure,
-            )
+    eval1, eval2 = _evaluate_pairs(
+        frames, kps_pairs, pair_ids, poses, frame_slices, offsets, cfg, run_eval2
+    )
     ate_dr = ate_est = None
     if gt_rows_list is not None:
         gt_all = np.concatenate(gt_rows_list, axis=0)
@@ -478,3 +399,62 @@ def _run_full_ba(frames, cfg, kps_pairs, pair_ids, gt_rows_list, out_dir, run_ev
 
         write_reference_dumps(out_dir, result, kps_pairs)
     return result
+
+
+def _evaluate_pairs(frames, kps_pairs, pair_ids, poses, frame_slices, offsets, cfg, run_eval2):
+    """Annotation-based evaluation (C18) for every gated pair; stacked single
+    dispatch when frames share a shape, per-pair fallback otherwise."""
+    eval1: Dict[Tuple[int, int], Eval1Result] = {}
+    eval2: Dict[Tuple[int, int], Eval2Result] = {}
+    same_shape = len({tuple(f.raw.shape) for f in frames}) == 1
+    if same_shape and pair_ids:
+        from .evaluate import (
+            eval_landmark_consistency_stacked,
+            eval_triangulated_consistency_stacked,
+        )
+
+        rows_list, sf_list, tf_list, blocks = [], [], [], []
+        start = 0
+        for (i, j) in pair_ids:
+            kp = kps_pairs[(i, j)]
+            rows = kp.pairs[kp.valid]
+            rows_list.append(rows)
+            sf_list.append(np.full(len(rows), i, np.int32))
+            tf_list.append(np.full(len(rows), j, np.int32))
+            blocks.append(((i, j), start, start + len(rows)))
+            start += len(rows)
+        rows_cat = np.concatenate(rows_list) if rows_list else np.zeros((0, 7))
+        sf_cat = np.concatenate(sf_list) if sf_list else np.zeros(0, np.int32)
+        tf_cat = np.concatenate(tf_list) if tf_list else np.zeros(0, np.int32)
+        eval1 = eval_landmark_consistency_stacked(
+            rows_cat, sf_cat, tf_cat, blocks,
+            jnp.stack([f.geo for f in frames]),
+            jnp.stack([f.ground_ranges for f in frames]),
+            poses, offsets[:-1], frames[0].raw.shape[1],
+        )
+        if run_eval2:
+            eval2 = eval_triangulated_consistency_stacked(
+                rows_cat, sf_cat, tf_cat, blocks,
+                jnp.stack([f.dr_poses for f in frames]),
+                jnp.stack([f.geo for f in frames]),
+                jnp.stack([f.altitudes for f in frames]),
+                poses, offsets[:-1], cfg.kp_noise, cfg.loop_closure,
+            )
+    for (i, j) in pair_ids:
+        kp = kps_pairs[(i, j)]
+        rows = kp.pairs[kp.valid]
+        fs, ft = frames[i], frames[j]
+        est_s = poses[frame_slices[i]]
+        est_t = poses[frame_slices[j]]
+        if (i, j) not in eval1:
+            eval1[(i, j)] = eval_landmark_consistency(
+                rows, fs.geo, ft.geo, fs.ground_ranges, ft.ground_ranges,
+                est_s, est_t, fs.raw.shape[1],
+            )
+        if run_eval2 and (i, j) not in eval2:
+            eval2[(i, j)] = eval_triangulated_consistency(
+                rows, fs.dr_poses, ft.dr_poses, fs.geo, ft.geo,
+                fs.altitudes, ft.altitudes, est_s, est_t,
+                cfg.kp_noise, cfg.loop_closure,
+            )
+    return eval1, eval2
