@@ -177,3 +177,5 @@ class FullBAConfig:
     max_iters: int = 40
     cg_tol: float = 1e-6
     cg_max_iters: int = 250
+    preconditioner: str = "auto"  # "jacobi" | "tridiag" | "auto" (by backend)
+    tridiag_segment: int = 256

@@ -270,12 +270,43 @@ def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg):
         # SPD guard: fall back toward the undamped diagonal if the Schur
         # correction overshoots numerically
         Dp_damped = Dp_damped + 1e-5 * jnp.eye(6, dtype=dtype)
-        Lp = jnp.linalg.cholesky(Dp_damped)
-        ok = jnp.all(jnp.isfinite(Lp))
-        Lp_safe = jnp.where(ok, Lp, jnp.linalg.cholesky(D_p * (1.0 + lam) + 1e-5 * jnp.eye(6, dtype=dtype)))
 
-        def precond(v):
-            return jax.scipy.linalg.cho_solve((Lp_safe, True), v[..., None])[..., 0]
+        precond_kind = cfg.preconditioner
+        if precond_kind == "auto":
+            # unlike the pose-graph solver, full BA's Schur system is hard
+            # enough that block-Jacobi hits the CG cap and stalls the LM at a
+            # worse optimum (measured: ATE 1.98 vs 1.44 on TPU) — the chain
+            # preconditioner wins on BOTH backends here; TPU prefers shorter
+            # segments (fewer, wider cyclic-reduction levels)
+            precond_kind = "tridiag"
+        seg = cfg.tridiag_segment if jax.default_backend() != "tpu" else min(cfg.tridiag_segment, 64)
+        if precond_kind == "tridiag":
+            # chain preconditioner on the Schur system: the odometry part is
+            # still exactly block-tridiagonal; solve it per CG iteration with
+            # segment-parallel cyclic reduction (same rationale as pose_graph)
+            from .tridiag import solve_block_tridiag_segmented
+
+            U = U_chain.at[0].set(0.0)
+            # keep the tridiag SPD even when the Schur diagonal correction
+            # overshoots: clamp toward the uncorrected diagonal
+            D_pc = jnp.where(
+                jnp.isfinite(jnp.linalg.cholesky(Dp_damped)).all(axis=(-1, -2), keepdims=True),
+                Dp_damped,
+                D_p * (1.0 + lam) + 1e-5 * jnp.eye(6, dtype=dtype),
+            )
+
+            def precond(v):
+                return solve_block_tridiag_segmented(D_pc, U, v, seg)
+
+        else:
+            Lp = jnp.linalg.cholesky(Dp_damped)
+            ok = jnp.all(jnp.isfinite(Lp))
+            Lp_safe = jnp.where(
+                ok, Lp, jnp.linalg.cholesky(D_p * (1.0 + lam) + 1e-5 * jnp.eye(6, dtype=dtype))
+            )
+
+            def precond(v):
+                return jax.scipy.linalg.cho_solve((Lp_safe, True), v[..., None])[..., 0]
 
         from .pose_graph import _pcg
 
