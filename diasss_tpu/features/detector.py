@@ -119,6 +119,37 @@ def _two_threshold_score(img, ini_t: float, min_t: float, cell_size: int):
     return jnp.where(has_hi_full, s_hi, s_lo)
 
 
+@functools.partial(jax.jit, static_argnames=("lvl", "k_level", "cfg"))
+def _detect_level(limg: jnp.ndarray, lvl: int, k_level: int, cfg: DetectorConfig) -> DetectedFeatures:
+    """One fused program per pyramid level: FAST -> selection -> orientation ->
+    blur -> SIFT.  One compile + one dispatch per level instead of a dozen
+    (several previously eager) stages — essential for remote-dispatch setups."""
+    scale = cfg.scale_factor**lvl
+    score = _two_threshold_score(
+        limg, float(cfg.ini_fast_threshold), float(cfg.min_fast_threshold), cfg.cell_size
+    )
+    n_cells = (limg.shape[0] // cfg.cell_size + 1) * (limg.shape[1] // cfg.cell_size + 1)
+    cell_cap = max(1, int(np.ceil(3 * k_level / max(n_cells, 1))))
+    xy, resp, valid = _select_keypoints(
+        score, k_level, cfg.cell_size, cell_cap, cfg.edge_threshold
+    )
+    ang = ic_angles(limg, xy)
+    blurred = gaussian_blur(limg, cfg.blur_ksize, cfg.blur_sigma)
+    size_lvl = PATCH_SIZE * scale  # kp.size convention (ORBextractor.cpp:847)
+    desc = sift_descriptors(
+        blurred, xy, ang, jnp.full((k_level,), size_lvl * cfg.desc_size_scale, jnp.float32)
+    )
+    return DetectedFeatures(
+        xy=xy * scale,
+        response=resp,
+        angle=ang,
+        size=jnp.full((k_level,), size_lvl, jnp.float32),
+        level=jnp.full((k_level,), lvl, jnp.int32),
+        desc=desc,
+        valid=valid,
+    )
+
+
 def detect_features(
     norm_img: jnp.ndarray,
     mask: jnp.ndarray | None = None,
@@ -133,36 +164,11 @@ def detect_features(
     levels = build_pyramid(img, cfg.n_levels, cfg.scale_factor)
     per_level = features_per_level(cfg.n_features, cfg.n_levels, cfg.scale_factor)
 
-    parts = []
-    for lvl, (limg, k_level) in enumerate(zip(levels, per_level)):
-        if k_level == 0:
-            continue
-        scale = cfg.scale_factor**lvl
-        score = _two_threshold_score(
-            limg, float(cfg.ini_fast_threshold), float(cfg.min_fast_threshold), cfg.cell_size
-        )
-        n_cells = (limg.shape[0] // cfg.cell_size + 1) * (limg.shape[1] // cfg.cell_size + 1)
-        cell_cap = max(1, int(np.ceil(3 * k_level / max(n_cells, 1))))
-        xy, resp, valid = _select_keypoints(
-            score, k_level, cfg.cell_size, cell_cap, cfg.edge_threshold
-        )
-        ang = ic_angles(limg, xy)
-        blurred = gaussian_blur(limg, cfg.blur_ksize, cfg.blur_sigma)
-        size_lvl = PATCH_SIZE * scale  # kp.size convention (ORBextractor.cpp:847)
-        desc = sift_descriptors(
-            blurred, xy, ang, jnp.full((k_level,), size_lvl * cfg.desc_size_scale, jnp.float32)
-        )
-        parts.append(
-            DetectedFeatures(
-                xy=xy * scale,
-                response=resp,
-                angle=ang,
-                size=jnp.full((k_level,), size_lvl, jnp.float32),
-                level=jnp.full((k_level,), lvl, jnp.int32),
-                desc=desc,
-                valid=valid,
-            )
-        )
+    parts = [
+        _detect_level(limg, lvl, k_level, cfg)
+        for lvl, (limg, k_level) in enumerate(zip(levels, per_level))
+        if k_level > 0
+    ]
 
     feats = DetectedFeatures(*[jnp.concatenate([getattr(p, f) for p in parts]) for f in DetectedFeatures._fields])
 

@@ -39,12 +39,18 @@ MAG_THRESH = 0.2
 INT_FCTR = 512.0
 
 
-def _sample_grid():
-    """Normalized sample offsets in descriptor-window units [-d/2, d/2)."""
+def _sample_grid_np():
+    """Normalized sample offsets in descriptor-window units [-d/2, d/2)
+    (host-side constant table)."""
     step = D_SPATIAL / PATCH
     coords = (np.arange(PATCH) + 0.5) * step - D_SPATIAL / 2  # bin units
     gy, gx = np.meshgrid(coords, coords, indexing="ij")
-    return jnp.asarray(gx, jnp.float32), jnp.asarray(gy, jnp.float32)
+    return gx.astype(np.float32), gy.astype(np.float32)
+
+
+def _sample_grid():
+    gx, gy = _sample_grid_np()
+    return jnp.asarray(gx), jnp.asarray(gy)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -71,27 +77,30 @@ def _soft_assign_matrices():
 
     Returns (PATCH*PATCH, D*D) spatial weights including the Gaussian window.
     """
-    gx, gy = _sample_grid()
+    gx, gy = _sample_grid_np()
     # spatial bin centers at -1.5, -0.5, 0.5, 1.5 (bin units)
     centers = np.arange(D_SPATIAL) - (D_SPATIAL - 1) / 2
-    wx = np.maximum(0.0, 1.0 - np.abs(np.asarray(gx).reshape(-1, 1) - centers[None, :]))
-    wy = np.maximum(0.0, 1.0 - np.abs(np.asarray(gy).reshape(-1, 1) - centers[None, :]))
+    wx = np.maximum(0.0, 1.0 - np.abs(gx.reshape(-1, 1) - centers[None, :]))
+    wy = np.maximum(0.0, 1.0 - np.abs(gy.reshape(-1, 1) - centers[None, :]))
     w_spatial = wy[:, :, None] * wx[:, None, :]  # (S*S, d, d)
     # Gaussian window, sigma = half the descriptor width (OpenCV)
-    r2 = np.asarray(gx).reshape(-1) ** 2 + np.asarray(gy).reshape(-1) ** 2
+    r2 = gx.reshape(-1) ** 2 + gy.reshape(-1) ** 2
     gauss = np.exp(-r2 / (2 * (0.5 * D_SPATIAL) ** 2))
     w = w_spatial * gauss[:, None, None]
-    return jnp.asarray(w.reshape(PATCH * PATCH, D_SPATIAL * D_SPATIAL), jnp.float32)
+    return w.reshape(PATCH * PATCH, D_SPATIAL * D_SPATIAL).astype(np.float32)
 
 
-_W_SPATIAL = None
+_W_SPATIAL_NP = None
 
 
 def _get_w_spatial():
-    global _W_SPATIAL
-    if _W_SPATIAL is None:
-        _W_SPATIAL = _soft_assign_matrices()
-    return _W_SPATIAL
+    """Pooling-weight table; cached as NUMPY (a jnp cache built during a trace
+    would leak a tracer across traces) and converted per call — jit folds the
+    conversion into a constant."""
+    global _W_SPATIAL_NP
+    if _W_SPATIAL_NP is None:
+        _W_SPATIAL_NP = _soft_assign_matrices()
+    return jnp.asarray(_W_SPATIAL_NP)
 
 
 def sift_descriptors(
