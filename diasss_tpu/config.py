@@ -60,6 +60,12 @@ class MatcherConfig:
     scc_max_iters: int = 1000  # RANSAC hypotheses (FEAmatcher.cpp:189)
     scc_samples: int = 2  # samples per hypothesis (FEAmatcher.cpp:189)
     scc_pix_error: float = 2.5  # inlier tolerance in pings (FEAmatcher.cpp:190)
+    # "x" = the reference's shipped single-axis check; "xy" = the two-axis
+    # variant it sketches as disabled code (FEAmatcher.cpp:250-317: 3 samples,
+    # tolerances 2.5 / 15.0) — required for crossing-line pairs where the
+    # along-track offset model does not apply
+    scc_mode: str = "x"
+    scc_pix_error_y: float = 15.0  # FEAmatcher.cpp:255
     consistency_thres: float = 2.5  # cross-direction model gap (FEAmatcher.cpp:329)
     rng_seed: int = 1  # cv::setRNGSeed(1) (FEAmatcher.cpp:60)
     # Improvement over the reference (off by default for parity): when > 0, the

@@ -74,10 +74,12 @@ def robust_matching(
     key = jax.random.PRNGKey(cfg.rng_seed)
     k1, k2 = jax.random.split(key)
     scc_1 = scc_filter(
-        feats_s.xy[:, 1], feats_t.xy[:, 1], nn_1.corres, parity, jnp.asarray(float(rows_t)), k1, cfg
+        feats_s.xy[:, 1], feats_t.xy[:, 1], nn_1.corres, parity, jnp.asarray(float(rows_t)), k1, cfg,
+        kp_x_q=feats_s.xy[:, 0], kp_x_r=feats_t.xy[:, 0],
     )
     scc_2 = scc_filter(
-        feats_t.xy[:, 1], feats_s.xy[:, 1], nn_2.corres, parity, jnp.asarray(float(rows_s)), k2, cfg
+        feats_t.xy[:, 1], feats_s.xy[:, 1], nn_2.corres, parity, jnp.asarray(float(rows_s)), k2, cfg,
+        kp_x_q=feats_t.xy[:, 0], kp_x_r=feats_s.xy[:, 0],
     )
 
     # --- consistency merge (ConsistentCheck, FEAmatcher.cpp:323-405) ---

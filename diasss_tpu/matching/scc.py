@@ -46,23 +46,33 @@ def scc_filter(
     ref_rows: jnp.ndarray,  # () float — reference image row count
     key: jax.Array,
     cfg: MatcherConfig = MatcherConfig(),
+    kp_x_q: jnp.ndarray | None = None,  # (K,) bin (col) coords, scc_mode="xy"
+    kp_x_r: jnp.ndarray | None = None,  # (Kr,)
 ) -> SCCResult:
     K = kp_y_q.shape[0]
     matched = corres >= 0
     y_r_matched = kp_y_r[jnp.clip(corres, 0)]
     x_val = _row_metric(kp_y_q, y_r_matched, parity_flip, ref_rows)  # (K,)
 
-    # sample 2 matched ids per hypothesis: sample positions among matched via
-    # categorical over the matched mask
+    use_xy = cfg.scc_mode == "xy" and kp_x_q is not None and kp_x_r is not None
+    n_samples = 3 if use_xy else cfg.scc_samples  # FEAmatcher.cpp:254 vs :189
+
+    # sample matched ids per hypothesis via categorical over the matched mask
     logits = jnp.where(matched, 0.0, -jnp.inf)
     samples = jax.random.categorical(
-        key, logits[None, :], axis=-1, shape=(cfg.scc_max_iters, cfg.scc_samples)
+        key, logits[None, :], axis=-1, shape=(cfg.scc_max_iters, n_samples)
     )  # (H, S)
     model_x = jnp.mean(x_val[samples], axis=-1)  # (H,)
 
     # inlier test for every hypothesis x match
     resid = jnp.abs(model_x[:, None] - x_val[None, :])  # (H, K)
     inl = (resid <= cfg.scc_pix_error) & matched[None, :]
+    if use_xy:
+        # two-axis variant (FEAmatcher.cpp:270-303): the bin-offset model
+        y_val = jnp.abs(kp_x_q - kp_x_r[jnp.clip(corres, 0)])  # (K,)
+        model_y = jnp.mean(y_val[samples], axis=-1)  # (H,)
+        resid_y = jnp.abs(model_y[:, None] - y_val[None, :])
+        inl = inl & (resid_y <= cfg.scc_pix_error_y)
     counts = jnp.sum(inl, axis=-1)  # (H,)
     # no matches at all -> categorical produced garbage; force empty result
     any_match = jnp.any(matched)

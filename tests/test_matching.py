@@ -165,3 +165,45 @@ class TestIntegration:
                 good += 1
         precision = good / res.n_matches
         assert precision >= 0.5, (precision, res.n_matches)
+
+
+class TestSCCxy:
+    def test_two_axis_consensus(self):
+        """scc_mode="xy": inliers must agree on BOTH ping and bin offsets."""
+        K = 30
+        rng = np.random.default_rng(3)
+        y_q = jnp.asarray(np.arange(K, dtype=np.float32) * 8)
+        x_q = jnp.asarray(np.arange(K, dtype=np.float32) * 4 + 100)
+        y_r = np.arange(K, dtype=np.float32) * 8 + 5  # ping offset 5
+        x_r = np.arange(K, dtype=np.float32) * 4 + 100 + 9  # bin offset 9
+        bad = rng.choice(K, 6, replace=False)
+        x_r[bad] += 200.0  # bin outliers (ping still consistent)
+        from diasss_tpu.matching.scc import scc_filter
+
+        cfg = MatcherConfig(scc_mode="xy")
+        res = scc_filter(
+            y_q, jnp.asarray(y_r), jnp.arange(K, dtype=jnp.int32),
+            jnp.asarray(False), jnp.asarray(1000.0), jax.random.PRNGKey(0), cfg,
+            kp_x_q=x_q, kp_x_r=jnp.asarray(x_r),
+        )
+        kept = np.asarray(res.corres) >= 0
+        assert kept.sum() == K - 6
+        assert not kept[bad].any()
+
+    def test_x_mode_ignores_bin_outliers(self):
+        """Default single-axis mode must NOT reject bin-offset outliers
+        (reference parity: the shipped SCC only models the ping axis)."""
+        K = 30
+        y_q = jnp.asarray(np.arange(K, dtype=np.float32) * 8)
+        x_q = jnp.asarray(np.arange(K, dtype=np.float32) * 4)
+        y_r = np.arange(K, dtype=np.float32) * 8 + 5
+        x_r = np.arange(K, dtype=np.float32) * 4
+        x_r[:6] += 200.0
+        from diasss_tpu.matching.scc import scc_filter
+
+        res = scc_filter(
+            y_q, jnp.asarray(y_r), jnp.arange(K, dtype=jnp.int32),
+            jnp.asarray(False), jnp.asarray(1000.0), jax.random.PRNGKey(0),
+            MatcherConfig(), kp_x_q=x_q, kp_x_r=jnp.asarray(x_r),
+        )
+        assert (np.asarray(res.corres) >= 0).sum() == K
