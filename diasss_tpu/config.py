@@ -24,6 +24,10 @@ class DetectorConfig:
     edge_threshold: int = 19  # ORBextractor.h EDGE_THRESHOLD used for borders
     blur_ksize: int = 13  # GaussianBlur 13x13 (ORBextractor.cpp:1092)
     blur_sigma: float = 2.0  # ORBextractor.cpp:1092
+    # "sift" = the reference's live path (128-d float); "orb" = the binary
+    # steered-BRIEF path the reference ships as dead code (pluggable per
+    # SURVEY §7 step 5); matched with L2 or Hamming accordingly
+    descriptor: str = "sift"
     # Descriptor window multiplier.  1.0 = reference parity: kp.size = 31 *
     # scale^level fed to SIFT (ORBextractor.cpp:847 + SiftDescriptorExtractor),
     # which yields ~+-93 px windows.  Values < 1 shrink the window toward the
@@ -57,6 +61,9 @@ class MatcherConfig:
     geo_radius: float = 8.0  # geo search radius in meters (FEAmatcher.cpp:67)
     sift_dist_bound: float = 350.0  # L2 descriptor bound (FEAmatcher.cpp:108)
     ratio_test: float = 0.35  # first/second NN ratio (FEAmatcher.cpp:110)
+    desc_metric: str = "l2"  # "l2" (SIFT) | "hamming" (ORB binary path)
+    orb_dist_bound: float = 88.0  # Hamming bound (FEAmatcher.cpp:143)
+    orb_dist_bound_cross: float = 80.0  # opposite-parity bound (FEAmatcher.cpp:145)
     scc_max_iters: int = 1000  # RANSAC hypotheses (FEAmatcher.cpp:189)
     scc_samples: int = 2  # samples per hypothesis (FEAmatcher.cpp:189)
     scc_pix_error: float = 2.5  # inlier tolerance in pings (FEAmatcher.cpp:190)

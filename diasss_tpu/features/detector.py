@@ -136,9 +136,13 @@ def _detect_level(limg: jnp.ndarray, lvl: int, k_level: int, cfg: DetectorConfig
     ang = ic_angles(limg, xy)
     blurred = gaussian_blur(limg, cfg.blur_ksize, cfg.blur_sigma)
     size_lvl = PATCH_SIZE * scale  # kp.size convention (ORBextractor.cpp:847)
-    desc = sift_descriptors(
-        blurred, xy, ang, jnp.full((k_level,), size_lvl * cfg.desc_size_scale, jnp.float32)
-    )
+    sizes_arr = jnp.full((k_level,), size_lvl * cfg.desc_size_scale, jnp.float32)
+    if cfg.descriptor == "orb":
+        from .orb_desc import orb_descriptors
+
+        desc = orb_descriptors(blurred, xy, ang, sizes_arr)
+    else:
+        desc = sift_descriptors(blurred, xy, ang, sizes_arr)
     return DetectedFeatures(
         xy=xy * scale,
         response=resp,

@@ -31,16 +31,17 @@ class NNResult(NamedTuple):
     best_dist: jnp.ndarray  # (K,) float32
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "parity_flip"))
 def geo_nn_search(
     geo_q: jnp.ndarray,  # (K, 2) query keypoint geo positions
-    desc_q: jnp.ndarray,  # (K, 128)
+    desc_q: jnp.ndarray,  # (K, D) — 128-d SIFT or 256-d +-1 binary
     valid_q: jnp.ndarray,  # (K,)
     geo_r: jnp.ndarray,  # (Kr, 2) reference keypoint geo positions
-    desc_r: jnp.ndarray,  # (Kr, 128)
+    desc_r: jnp.ndarray,  # (Kr, D)
     valid_r: jnp.ndarray,  # (Kr,)
     ref_bbox: jnp.ndarray,  # (4,) x_min, x_max, y_min, y_max of the ref geo image
     cfg: MatcherConfig = MatcherConfig(),
+    parity_flip: bool = False,  # opposite-parity images (ORB bound, FEAmatcher.cpp:144-145)
 ) -> NNResult:
     # geo distance gate
     d2 = jnp.sum((geo_q[:, None, :] - geo_r[None, :, :]) ** 2, axis=-1)  # (K, Kr)
@@ -55,12 +56,20 @@ def geo_nn_search(
     )
     gate &= in_bbox[:, None]
 
-    # SIFT L2 distances via the matmul identity
-    q2 = jnp.sum(desc_q * desc_q, axis=-1)
-    r2 = jnp.sum(desc_r * desc_r, axis=-1)
-    cross = jnp.matmul(desc_q, desc_r.T, precision=_HI)
-    dist2 = jnp.maximum(q2[:, None] + r2[None, :] - 2.0 * cross, 0.0)
-    dist = jnp.sqrt(dist2)
+    if cfg.desc_metric == "hamming":
+        # ORB binary path: Hamming distance from +-1 encodings, one matmul
+        from ..features.orb_desc import hamming_matrix
+
+        dist = hamming_matrix(desc_q, desc_r)
+        bound = cfg.orb_dist_bound_cross if parity_flip else cfg.orb_dist_bound
+    else:
+        # SIFT L2 distances via the matmul identity
+        q2 = jnp.sum(desc_q * desc_q, axis=-1)
+        r2 = jnp.sum(desc_r * desc_r, axis=-1)
+        cross = jnp.matmul(desc_q, desc_r.T, precision=_HI)
+        dist2 = jnp.maximum(q2[:, None] + r2[None, :] - 2.0 * cross, 0.0)
+        dist = jnp.sqrt(dist2)
+        bound = cfg.sift_dist_bound
     masked = jnp.where(gate, dist, _BIG)
 
     # best and second-best over candidates (guard tiny reference sets)
@@ -82,8 +91,14 @@ def geo_nn_search(
     n_cand = jnp.sum(gate, axis=-1)
 
     ratio_ok = best / jnp.maximum(second, 1e-9) <= cfg.ratio_test
-    pass_full = (best < cfg.sift_dist_bound) & ratio_ok & (n_cand >= 1)
-    pass_single = (n_cand == 1) & (best < cfg.sift_dist_bound)
+    if cfg.desc_metric == "hamming":
+        # ORB accept rule (FEAmatcher.cpp:166-175): <= bound, ratio, and a real
+        # second-best must exist; single-candidate escape identical
+        pass_full = (best <= bound) & ratio_ok & (second < _BIG) & (n_cand >= 1)
+        pass_single = (n_cand == 1) & (best <= bound)
+    else:
+        pass_full = (best < bound) & ratio_ok & (n_cand >= 1)
+        pass_single = (n_cand == 1) & (best < bound)
     ok = pass_full | pass_single
     return NNResult(
         corres=jnp.where(ok, best_id, -1).astype(jnp.int32),

@@ -67,8 +67,9 @@ def robust_matching(
         [jnp.min(geo_s[..., 0]), jnp.max(geo_s[..., 0]), jnp.min(geo_s[..., 1]), jnp.max(geo_s[..., 1])]
     )
 
-    nn_1 = geo_nn_search(geo_kp_s, feats_s.desc, feats_s.valid, geo_kp_t, feats_t.desc, feats_t.valid, bbox_t, cfg)
-    nn_2 = geo_nn_search(geo_kp_t, feats_t.desc, feats_t.valid, geo_kp_s, feats_s.desc, feats_s.valid, bbox_s, cfg)
+    pflip = bool(img_id_s % 2 != img_id_t % 2)
+    nn_1 = geo_nn_search(geo_kp_s, feats_s.desc, feats_s.valid, geo_kp_t, feats_t.desc, feats_t.valid, bbox_t, cfg, pflip)
+    nn_2 = geo_nn_search(geo_kp_t, feats_t.desc, feats_t.valid, geo_kp_s, feats_s.desc, feats_s.valid, bbox_s, cfg, pflip)
 
     parity = jnp.asarray(img_id_s % 2 != img_id_t % 2)
     key = jax.random.PRNGKey(cfg.rng_seed)

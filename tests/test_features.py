@@ -157,3 +157,60 @@ class TestFastPallas:
         x = np.asarray(fast_score(img, 12.0))[8:-8, 8:-8]
         p = np.asarray(fast_score_pallas(img, 12.0, tile=32, interpret=True))[8:-8, 8:-8]
         np.testing.assert_allclose(p, x, atol=1e-4)
+
+
+class TestOrbDescriptor:
+    def test_shape_and_binary(self):
+        from diasss_tpu.features.orb_desc import orb_descriptors
+
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 255, (96, 96)), jnp.float32)
+        kp = jnp.asarray([[48.0, 48.0], [30.0, 60.0]])
+        d = orb_descriptors(img, kp, jnp.zeros(2), jnp.full(2, 31.0))
+        assert d.shape == (2, 256)
+        assert set(np.unique(np.asarray(d))) <= {-1.0, 1.0}
+
+    def test_rotation_steering(self):
+        """Rotating the image and compensating the angle reproduces most bits."""
+        from scipy.ndimage import rotate as ndrotate
+
+        from diasss_tpu.features.orb_desc import orb_descriptors
+
+        rng = np.random.default_rng(1)
+        img = rng.uniform(20, 40, (97, 97))
+        ys, xs = np.mgrid[:97, :97]
+        img += 150 * np.exp(-((ys - 48) ** 2 + (xs - 40) ** 2) / 60.0)
+        rot = ndrotate(img, 90, reshape=False, order=1)
+        d0 = orb_descriptors(jnp.asarray(img, jnp.float32), jnp.asarray([[40.0, 48.0]]), jnp.zeros(1), jnp.full(1, 31.0))
+        iy, ix = np.unravel_index(np.argmax(rot), rot.shape)
+        d1 = orb_descriptors(jnp.asarray(rot, jnp.float32), jnp.asarray([[float(ix), float(iy)]]), jnp.asarray([-np.pi / 2]), jnp.full(1, 31.0))
+        agree = float((np.asarray(d0[0]) == np.asarray(d1[0])).mean())
+        assert agree > 0.8, agree
+
+    def test_hamming_matrix(self):
+        from diasss_tpu.features.orb_desc import hamming_matrix
+
+        a = jnp.asarray([[1.0, -1, 1, -1]])
+        b = jnp.asarray([[1.0, -1, 1, -1], [-1, 1, -1, 1], [1.0, 1, 1, 1]])
+        h = np.asarray(hamming_matrix(a, b))
+        np.testing.assert_allclose(h, [[0, 4, 2]])
+
+    def test_end_to_end_orb_matching(self):
+        """Detector with descriptor="orb" + hamming matcher produces matches."""
+        from diasss_tpu.config import DetectorConfig, MatcherConfig
+        from diasss_tpu.frame import build_keyframe
+        from diasss_tpu.matching.robust import robust_matching
+        from diasss_tpu.synthetic import make_survey
+
+        survey = make_survey(n_lines=2, n_pings=400, n_bins=512, n_landmarks=100, seed=11)
+        frames = [
+            build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+            for l in survey.lines
+        ]
+        dcfg = DetectorConfig(n_features=600, descriptor="orb", desc_size_scale=8.0 / 31.0)
+        feats = [detect_features(f.norm, f.mask, dcfg) for f in frames]
+        assert feats[0].desc.shape[1] == 256
+        mcfg = MatcherConfig(desc_metric="hamming", ratio_excl_radius=2.0, ratio_test=0.8,
+                             orb_dist_bound=110.0, orb_dist_bound_cross=110.0)
+        res = robust_matching(0, 1, feats[0], feats[1], frames[0].geo, frames[1].geo, 400, 400, mcfg)
+        assert res.n_matches >= 1, res

@@ -80,3 +80,19 @@ class TestSynthetic:
     def test_image_has_echo_contrast(self, small_survey):
         img = small_survey.lines[0].image
         assert img.max() > np.median(img) * 3
+
+
+class TestMosaic:
+    def test_builds_and_covers(self, small_survey):
+        from diasss_tpu.frame import build_keyframe
+        from diasss_tpu.mosaic import build_mosaic
+
+        frames = [
+            build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+            for l in small_survey.lines
+        ]
+        m, x0, y0, res = build_mosaic(frames, resolution=0.5)
+        assert np.isfinite(m).mean() > 0.5  # swaths cover most of the bbox
+        # overlapping strips average: values stay in the normalized range
+        vals = m[np.isfinite(m)]
+        assert vals.min() >= 0.0 and vals.max() <= 255.0
