@@ -33,6 +33,10 @@ def main(argv=None) -> int:
                         help="capture a jax.profiler trace of the solve into DIR")
     parser.add_argument("--estimator", default="two_stage", choices=["two_stage", "full_ba"],
                         help="two_stage = reference-parity; full_ba = joint Schur BA")
+    parser.add_argument("--detected", action="store_true",
+                        help="detect+match features instead of using annotations (USE_ANNO=0)")
+    parser.add_argument("--descriptor", default="sift", choices=["sift", "orb"],
+                        help="descriptor family for --detected (orb = binary/Hamming)")
     parser.add_argument("--min-overlap", type=float, default=None,
                         help="override the pair-gate IoU threshold (reference: 0.4)")
     args = parser.parse_args(argv)
@@ -54,6 +58,20 @@ def main(argv=None) -> int:
     pipe_cfg = PipelineConfig(estimator=args.estimator)
     if args.min_overlap is not None:
         pipe_cfg = dataclasses.replace(pipe_cfg, min_overlap=args.min_overlap)
+    if args.detected:
+        from .config import DetectorConfig, MatcherConfig, PoseGraphConfig
+
+        mcfg = (
+            MatcherConfig(desc_metric="hamming", ratio_excl_radius=2.0, ratio_test=0.8)
+            if args.descriptor == "orb"
+            else MatcherConfig(ratio_excl_radius=2.0, ratio_test=0.6, sift_dist_bound=450.0)
+        )
+        pipe_cfg = dataclasses.replace(
+            pipe_cfg,
+            detector=DetectorConfig(descriptor=args.descriptor, desc_size_scale=8.0 / 31.0),
+            matcher=mcfg,
+            pose_graph=PoseGraphConfig(use_anno=False),
+        )
 
     t0 = time.perf_counter()
     data = load_input_data(args.image, args.pose, args.altitude, args.groundrange, args.annotation)
@@ -97,6 +115,7 @@ def main(argv=None) -> int:
     print(f"SLAM solved ({time.perf_counter()-t0:.2f}s)")
 
     print(f"pairs: {result.pair_ids}; loop closures accepted: {result.n_lc_accepted}")
+    print("throughput:", result.summary())
     print(f"graph error: {result.solve_error0:.3e} -> {result.solve_error:.3e}")
     if result.ate_dr is not None:
         print(f"ATE DR/EST: {result.ate_dr:.3f} / {result.ate_est:.3f} m")

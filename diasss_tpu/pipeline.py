@@ -48,6 +48,19 @@ class SlamResult:
     def frame_poses(self, f: int) -> se3.Pose3:
         return self.poses[self.frame_slices[f]]
 
+    def summary(self) -> Dict[str, float]:
+        """Derived throughput counters (SURVEY §5 tracing row)."""
+        total_pings = int(self.poses.t.shape[0])
+        solve_t = self.timings.get("pose_graph", 0.0) + self.timings.get("full_ba", 0.0)
+        wall = sum(self.timings.values())
+        return {
+            "total_pings": total_pings,
+            "wall_seconds": round(wall, 3),
+            "pings_per_sec": round(total_pings / wall, 1) if wall > 0 else float("nan"),
+            "solve_seconds": round(solve_t, 3),
+            "n_loop_closures": self.n_lc_accepted,
+        }
+
 
 def _overlap_pairs(frames: List[Keyframe], min_overlap: float) -> List[Tuple[int, int]]:
     """Pair gating by geo bbox IoU (diasss2.cpp:88-97).
