@@ -105,7 +105,7 @@ def _fast(img, t: float):
     return fast_score(img, t)
 
 
-@functools.partial(jax.jit, static_argnames=("cell_size",))
+@functools.partial(jax.jit, static_argnames=("ini_t", "min_t", "cell_size"))
 def _two_threshold_score(img, ini_t: float, min_t: float, cell_size: int):
     """FAST map using ini_t, falling back to min_t in cells with no ini_t corner."""
     s_hi = nms3(_fast(img, ini_t))
