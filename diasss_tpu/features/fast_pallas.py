@@ -84,13 +84,16 @@ def fast_score_pallas(
     interpreter (CPU tests).
     """
     img = img.astype(jnp.float32)
-    n, m = img.shape
+    n, m_in = img.shape
+    # lane alignment: Mosaic memref slices need the minor dim in 128-lane units
+    m = -(-m_in // 128) * 128
+    pad_cols = m - m_in
     n_tiles = -(-n // tile)
     pad_rows = n_tiles * tile - n
     # edge-clamped halo padding (jnp.roll wrap in the XLA version also touches
     # garbage at borders; both are masked by the detector's edge threshold);
     # bottom padding covers the 8-row-aligned DMA slab of the last tile
-    padded = jnp.pad(img, ((HALO, HALO + pad_rows + 5), (0, 0)), mode="edge")
+    padded = jnp.pad(img, ((HALO, HALO + pad_rows + 5), (0, pad_cols)), mode="edge")
 
     out = pl.pallas_call(
         functools.partial(_fast_tile_kernel, threshold=float(threshold), tile=tile),
@@ -104,4 +107,4 @@ def fast_score_pallas(
         ],
         interpret=interpret,
     )(padded)
-    return out[:n]
+    return out[:n, :m_in]

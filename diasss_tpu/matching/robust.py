@@ -93,32 +93,38 @@ def robust_matching(
 
     xy_s = np.asarray(feats_s.xy)
     xy_t = np.asarray(feats_t.xy)
-    pairs: list[tuple[int, int]] = []
     consistent = kp_diff <= cfg.consistency_thres
     if consistent:
-        for i in np.nonzero(c1 >= 0)[0]:
-            j = c1[i]
-            if c2[j] == i:
-                continue  # mutual match: direction 2 will emit it (:353)
-            pairs.append((int(i), int(j)))
-        for j in np.nonzero(c2 >= 0)[0]:
-            pairs.append((int(c2[j]), int(j)))
+        i1 = np.nonzero(c1 >= 0)[0]
+        # skip direction-1 matches whose reverse map points back (:353)
+        i1 = i1[c2[c1[i1]] != i1]
+        j2 = np.nonzero(c2 >= 0)[0]
+        src_idx = np.concatenate([i1, c2[j2]])
+        tgt_idx = np.concatenate([c1[i1], j2])
     elif inl1 > inl2:
-        pairs = [(int(i), int(c1[i])) for i in np.nonzero(c1 >= 0)[0]]
+        src_idx = np.nonzero(c1 >= 0)[0]
+        tgt_idx = c1[src_idx]
     else:
-        pairs = [(int(c2[j]), int(j)) for j in np.nonzero(c2 >= 0)[0]]
+        tgt_idx = np.nonzero(c2 >= 0)[0]
+        src_idx = c2[tgt_idx]
 
-    rows_src = np.zeros((len(pairs), 6), np.float64)
-    rows_tgt = np.zeros((len(pairs), 6), np.float64)
-    for m, (i, j) in enumerate(pairs):
-        ps, bs = xy_s[i, 1], xy_s[i, 0]
-        pt, bt = xy_t[j, 1], xy_t[j, 0]
-        rows_src[m] = (img_id_s, img_id_t, ps, bs, pt, bt)
-        rows_tgt[m] = (img_id_t, img_id_s, pt, bt, ps, bs)
+    n = len(src_idx)
+    rows_src = np.empty((n, 6), np.float64)
+    rows_tgt = np.empty((n, 6), np.float64)
+    rows_src[:, 0] = img_id_s
+    rows_src[:, 1] = img_id_t
+    rows_src[:, 2] = xy_s[src_idx, 1]
+    rows_src[:, 3] = xy_s[src_idx, 0]
+    rows_src[:, 4] = xy_t[tgt_idx, 1]
+    rows_src[:, 5] = xy_t[tgt_idx, 0]
+    rows_tgt[:, 0] = img_id_t
+    rows_tgt[:, 1] = img_id_s
+    rows_tgt[:, 2:4] = rows_src[:, 4:6]
+    rows_tgt[:, 4:6] = rows_src[:, 2:4]
     return MatchResult(
         rows_s=rows_src,
         rows_t=rows_tgt,
-        n_matches=len(pairs),
+        n_matches=n,
         inliers_1=inl1,
         inliers_2=inl2,
         consistent=bool(consistent),
