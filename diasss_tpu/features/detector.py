@@ -11,8 +11,9 @@ Pipeline per level (ORBextractor.cpp:1049-1113):
    a per-cell quota achieves with sorts instead of recursion (deliberate,
    documented deviation),
 4. intensity-centroid orientation (IC_Angle),
-5. SIFT descriptors on the 13x13/sigma-2 blurred level image
-   (ORBextractor.cpp:1092-1098),
+5. descriptors on the 13x13/sigma-2 blurred level image
+   (ORBextractor.cpp:1092-1098): SIFT (the reference's live path) or the
+   binary steered-BRIEF family (its dead-code path), per config,
 6. coordinates rescaled to level 0 (ORBextractor.cpp:1103-1108).
 
 Keypoint capacity is static (``n_features``) with a validity mask — XLA-friendly

@@ -7,9 +7,9 @@ fused XLA op over the whole image (and batches over frames under vmap):
 * :func:`normalize_sss`    — frame.cpp:57-81   (C3)
 * :func:`filtered_mask`    — frame.cpp:83-124  (C4)
 * geo-referencing          — via :func:`diasss_tpu.geometry.sonar.geo_image` (C5)
-* feature detection        — :mod:`diasss_tpu.features` (C6/C7), filled in by
-  :func:`detect` when descriptors are needed (the annotation-driven pipeline
-  does not need them, diasss2.cpp USE_ANNO=1 path).
+* feature detection        — :mod:`diasss_tpu.features` (C6/C7), attached by the
+  pipeline when ``use_anno=False`` (the annotation-driven path, diasss2.cpp's
+  USE_ANNO=1 default, does not need descriptors).
 """
 
 from __future__ import annotations

@@ -7,6 +7,10 @@ optimizer.cpp:21-317):
   detected correspondences) -> batched loop-closure mini-solves -> quality gate ->
   global pose-graph LM -> trajectory dumps + annotation-based evaluation.
 
+Two estimators (PipelineConfig.estimator): "two_stage" is the reference-parity
+flow above; "full_ba" replaces the LC + pose-graph stages with the joint
+Schur-complement bundle adjustment (:mod:`.solvers.full_ba`).
+
 Host-side code here is orchestration only; every numeric stage is a jitted
 batched device computation.
 """

@@ -24,8 +24,10 @@ The linear system of each LM trial is solved with preconditioned conjugate
 gradients where the Hessian-vector product is evaluated *factor-wise*
 (gather -> batched 6x6 GEMMs -> segment-sum scatter): O(F) work per matvec,
 fully parallel, shards cleanly over a device mesh (poses block-partitioned,
-psum-reduced gradients).  The preconditioner is block-Jacobi (batched 6x6
-Cholesky inverses).
+psum-reduced gradients).  The preconditioner is selectable
+(PoseGraphConfig.preconditioner): block-Jacobi (wide batched kernels — wins on
+TPU at survey scale) or the segment-parallel cyclic-reduction chain solve
+(:mod:`.tridiag` — wins on CPU and very long chains); "auto" picks by backend.
 """
 
 from __future__ import annotations
