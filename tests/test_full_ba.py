@@ -51,3 +51,49 @@ class TestFullBA:
         r = results["full_ba"]
         assert np.isfinite(r.solve_error)
         assert r.solve_error < r.solve_error0 * 1e-2
+
+
+class TestPoseVariances:
+    @pytest.mark.slow
+    def test_variances_sane_and_grow_with_distance(self, tie_survey):
+        """Hutchinson pose variances: positive, zero at the gauge, and growing
+        away from the anchored start of the chain (drift accumulates)."""
+        import jax
+
+        from diasss_tpu.config import FullBAConfig, KeypointNoiseConfig
+        from diasss_tpu.pairs import get_kps_pairs
+        from diasss_tpu.pipeline import _overlap_pairs
+        from diasss_tpu.solvers.full_ba import (
+            build_ba_problem,
+            estimate_pose_variances,
+            solve_full_ba,
+        )
+
+        frames = [
+            build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+            for l in tie_survey.lines
+        ]
+        pair_ids = _overlap_pairs(frames, 0.1)
+        kps = {
+            k: get_kps_pairs(
+                frames[k[0]].annos, frames[k[1]].img_id,
+                np.asarray(frames[k[0]].altitudes), np.asarray(frames[k[0]].ground_ranges),
+                np.asarray(frames[k[1]].altitudes), np.asarray(frames[k[1]].ground_ranges),
+                use_anno=True,
+            )
+            for k in pair_ids
+        }
+        ba = FullBAConfig()
+        kp_cfg = KeypointNoiseConfig()
+        prob = build_ba_problem(frames, kps, pair_ids, ba, PipelineConfig().pose_graph, None)
+        poses, lms, info = solve_full_ba(prob, ba, kp_cfg)
+        var = np.asarray(
+            estimate_pose_variances(prob, poses, lms, jax.random.PRNGKey(0), ba, kp_cfg, 8)
+        )
+        assert var.shape == (poses.t.shape[0], 6)
+        assert np.all(var >= 0)
+        assert np.allclose(var[0], 0.0)  # gauge
+        # translation uncertainty grows from the anchored start toward the end
+        txy_early = var[1:50, 3:5].mean()
+        txy_late = var[-50:, 3:5].mean()
+        assert txy_late > txy_early, (txy_early, txy_late)
