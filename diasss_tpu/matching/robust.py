@@ -84,15 +84,20 @@ def robust_matching(
     )
 
     # --- consistency merge (ConsistentCheck, FEAmatcher.cpp:323-405) ---
-    c1 = np.asarray(scc_1.corres)
-    c2 = np.asarray(scc_2.corres)
-    inl1 = int(scc_1.inlier_count)
-    inl2 = int(scc_2.inlier_count)
+    # one batched device->host transfer (per-scalar pulls cost one RTT each on
+    # remote-dispatch setups)
+    c1, c2, inl1, inl2, m1, m2, xy_s, xy_t = jax.device_get(
+        (
+            scc_1.corres, scc_2.corres,
+            scc_1.inlier_count, scc_2.inlier_count,
+            scc_1.model_x, scc_2.model_x,
+            feats_s.xy, feats_t.xy,
+        )
+    )
+    inl1 = int(inl1)
+    inl2 = int(inl2)
     img_diff = abs(rows_s - rows_t) if (img_id_s % 2 != img_id_t % 2) else 0.0
-    kp_diff = abs(abs(float(scc_1.model_x) - float(scc_2.model_x)) - img_diff)
-
-    xy_s = np.asarray(feats_s.xy)
-    xy_t = np.asarray(feats_t.xy)
+    kp_diff = abs(abs(float(m1) - float(m2)) - img_diff)
     consistent = kp_diff <= cfg.consistency_thres
     if consistent:
         i1 = np.nonzero(c1 >= 0)[0]
