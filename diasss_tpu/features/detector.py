@@ -44,7 +44,7 @@ class DetectedFeatures(NamedTuple):
     angle: jnp.ndarray  # (K,) radians
     size: jnp.ndarray  # (K,) keypoint size (px, level-0 scale convention)
     level: jnp.ndarray  # (K,) int32 pyramid level
-    desc: jnp.ndarray  # (K, 128) float32 SIFT descriptors
+    desc: jnp.ndarray  # (K, D) float32 descriptors: D=128 SIFT or D=256 binary (+-1)
     valid: jnp.ndarray  # (K,) bool
 
 
