@@ -187,6 +187,19 @@ class FullBAConfig:
 
     lm_prior_xy_sigma: float = 50.0
     lm_prior_z_sigma: float = 1.5
+    # Correspondences whose two DR geo projections disagree by more than this
+    # (meters) are dropped at problem build.  A TRUE match's disagreement is
+    # bounded by the inter-line DR drift; wrong matches spread up to the
+    # matcher's 8 m search radius.  Set it to your mission's drift budget when
+    # feeding DETECTED matches (the CLI --detected path uses 4.0); keep 0 (off)
+    # for annotations or when drift may exceed any fixed bound — with the gate
+    # on and all matches rejected the solve degrades gracefully to DR.
+    max_geo_discrepancy: float = 0.0
+    # Huber robust loss on the whitened sonar residual norm (0 disables).
+    # Essential for detected correspondences (no quality gate filters them in
+    # this estimator); near no-op for clean annotation data where whitened
+    # inlier residuals are O(1).
+    huber_delta: float = 3.0
     max_iters: int = 40
     cg_tol: float = 1e-6
     cg_max_iters: int = 250

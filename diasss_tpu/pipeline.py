@@ -361,6 +361,10 @@ def _run_full_ba(frames, cfg, kps_pairs, pair_ids, gt_rows_list, out_dir, run_ev
 
     t0 = time.perf_counter()
     ba_cfg = FullBAConfig()
+    if not cfg.pose_graph.use_anno:
+        # detected matches carry outliers the joint solve would trust; gate by
+        # the DR geo-discrepancy budget (see FullBAConfig.max_geo_discrepancy)
+        ba_cfg = dataclasses.replace(ba_cfg, max_geo_discrepancy=4.0)
     noise_key = (
         jax.random.PRNGKey(cfg.pose_graph.seed)
         if cfg.pose_graph.init_noise_xyz > 0

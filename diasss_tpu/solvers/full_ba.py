@@ -76,7 +76,25 @@ def _sss_factor_terms(pose: se3.Pose3, lm: jnp.ndarray, sr: jnp.ndarray, sigmas)
     return r, Jp, Jl
 
 
-def _ba_error(poses: se3.Pose3, lms: jnp.ndarray, prob: BAProblem, kp_cfg) -> jnp.ndarray:
+def _huber_rho(sq_norm: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """Huber cost of a residual block given its squared norm (0.5*||r||^2 core)."""
+    if delta <= 0:
+        return 0.5 * sq_norm
+    nr = jnp.sqrt(jnp.maximum(sq_norm, 1e-20))
+    quad = 0.5 * sq_norm
+    lin = delta * (nr - 0.5 * delta)
+    return jnp.where(nr <= delta, quad, lin)
+
+
+def _huber_weight(sq_norm: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS weight sqrt(rho'(r)/r): multiply residual+Jacobian rows."""
+    if delta <= 0:
+        return jnp.ones_like(sq_norm)
+    nr = jnp.sqrt(jnp.maximum(sq_norm, 1e-20))
+    return jnp.sqrt(jnp.minimum(1.0, delta / nr))
+
+
+def _ba_error(poses: se3.Pose3, lms: jnp.ndarray, prob: BAProblem, kp_cfg, huber_delta: float = 0.0) -> jnp.ndarray:
     P = prob.poses0.t.shape[0]
     r_odo = jax.vmap(between_residual)(
         poses[jnp.arange(P - 1)], poses[jnp.arange(1, P)], prob.odo_meas
@@ -96,9 +114,14 @@ def _ba_error(poses: se3.Pose3, lms: jnp.ndarray, prob: BAProblem, kp_cfg) -> jn
     r_s = jnp.where(v, r_s, 0.0)
     r_t = jnp.where(v, r_t, 0.0)
     r_pr = jnp.where(v, r_pr, 0.0)
-    return 0.5 * (
-        jnp.sum(r_odo**2) + jnp.sum(r_s**2) + jnp.sum(r_t**2) + jnp.sum(r_pr**2)
+    return _ba_error_from_residuals(r_odo, r_s, r_t, r_pr, huber_delta)
+
+
+def _ba_error_from_residuals(r_odo, r_s, r_t, r_pr, huber_delta: float) -> jnp.ndarray:
+    rob = jnp.sum(_huber_rho(jnp.sum(r_s**2, axis=-1), huber_delta)) + jnp.sum(
+        _huber_rho(jnp.sum(r_t**2, axis=-1), huber_delta)
     )
+    return 0.5 * (jnp.sum(r_odo**2) + jnp.sum(r_pr**2)) + rob
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "kp_cfg"))
@@ -107,7 +130,7 @@ def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg):
     (poses, landmarks, BAInfo)."""
     P = prob.poses0.t.shape[0]
     dtype = prob.poses0.t.dtype
-    err0 = _ba_error(prob.poses0, prob.lm0, prob, kp_cfg)
+    err0 = _ba_error(prob.poses0, prob.lm0, prob, kp_cfg, cfg.huber_delta)
     w_kp = prob.kp_valid.astype(dtype)
 
     sig_s = jax.vmap(lambda sr: kp_noise_sigmas(sr, kp_cfg.sigma_r, kp_cfg.alpha_bw_deg))(prob.kp_sr_s)
@@ -136,6 +159,15 @@ def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg):
         vmask = prob.kp_valid
         r_s = jnp.where(vmask[:, None], r_s, 0.0)
         r_t = jnp.where(vmask[:, None], r_t, 0.0)
+        # IRLS robustification: downweight gross sonar residuals (Huber)
+        w_s = _huber_weight(jnp.sum(r_s**2, axis=-1), cfg.huber_delta)
+        w_t = _huber_weight(jnp.sum(r_t**2, axis=-1), cfg.huber_delta)
+        r_s = r_s * w_s[:, None]
+        r_t = r_t * w_t[:, None]
+        Jp_s = Jp_s * w_s[:, None, None]
+        Jp_t = Jp_t * w_t[:, None, None]
+        Jl_s = Jl_s * w_s[:, None, None]
+        Jl_t = Jl_t * w_t[:, None, None]
         Jp_s = jnp.where(vmask[:, None, None], Jp_s, 0.0)
         Jp_t = jnp.where(vmask[:, None, None], Jp_t, 0.0)
         Jl_s = jnp.where(vmask[:, None, None], Jl_s, 0.0)
@@ -332,7 +364,7 @@ def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg):
             new_poses,
         )
         new_lms = lms + delta_l
-        new_err = _ba_error(new_poses, new_lms, prob, kp_cfg)
+        new_err = _ba_error(new_poses, new_lms, prob, kp_cfg, cfg.huber_delta)
         good = jnp.isfinite(new_err) & (new_err < err)
         poses = jax.tree_util.tree_map(lambda a, b: jnp.where(good, b, a), poses, new_poses)
         lms = jnp.where(good, new_lms, lms)
@@ -407,6 +439,14 @@ def build_ba_problem(
         alts_t = np.asarray(frames[j].altitudes)
         g1 = geo_s[ping_s, bin_s]
         g2 = geo_t[ping_t, bin_t]
+        if ba_cfg.max_geo_discrepancy > 0:
+            keep = np.linalg.norm(g1 - g2, axis=1) <= ba_cfg.max_geo_discrepancy
+            kp_i[-1] = kp_i[-1][keep]
+            kp_j[-1] = kp_j[-1][keep]
+            sr_s[-1] = sr_s[-1][keep]
+            sr_t[-1] = sr_t[-1][keep]
+            ping_s, ping_t = ping_s[keep], ping_t[keep]
+            g1, g2 = g1[keep], g2[keep]
         z = 0.5 * (
             (dr_rows[i][ping_s, 5] - alts_s[ping_s])
             + (dr_rows[j][ping_t, 5] - alts_t[ping_t])
