@@ -62,9 +62,11 @@ def main(argv=None) -> int:
         from .config import DetectorConfig, MatcherConfig, PoseGraphConfig
 
         mcfg = (
-            MatcherConfig(desc_metric="hamming", ratio_excl_radius=2.0, ratio_test=0.8)
+            MatcherConfig(desc_metric="hamming", ratio_excl_radius=2.0, ratio_test=0.8,
+                          cross_check=True, scc_mode="xy")
             if args.descriptor == "orb"
-            else MatcherConfig(ratio_excl_radius=2.0, ratio_test=0.6, sift_dist_bound=450.0)
+            else MatcherConfig(ratio_excl_radius=2.0, ratio_test=0.6, sift_dist_bound=450.0,
+                               cross_check=True, scc_mode="xy")
         )
         pipe_cfg = dataclasses.replace(
             pipe_cfg,

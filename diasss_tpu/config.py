@@ -75,6 +75,10 @@ class MatcherConfig:
     scc_pix_error_y: float = 15.0  # FEAmatcher.cpp:255
     consistency_thres: float = 2.5  # cross-direction model gap (FEAmatcher.cpp:329)
     rng_seed: int = 1  # cv::setRNGSeed(1) (FEAmatcher.cpp:60)
+    # The reference's commented-out mutual cross-check (FEAmatcher.cpp:407-422):
+    # keep only matches where each keypoint is the other's nearest neighbor.
+    # Strong precision boost for the automatic (detected) path.
+    cross_check: bool = False
     # Improvement over the reference (off by default for parity): when > 0, the
     # ratio test's second-best candidate must lie at least this many meters from
     # the best one.  On texture-correlated imagery the plain ratio test is

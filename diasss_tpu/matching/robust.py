@@ -71,6 +71,16 @@ def robust_matching(
     nn_1 = geo_nn_search(geo_kp_s, feats_s.desc, feats_s.valid, geo_kp_t, feats_t.desc, feats_t.valid, bbox_t, cfg, pflip)
     nn_2 = geo_nn_search(geo_kp_t, feats_t.desc, feats_t.valid, geo_kp_s, feats_s.desc, feats_s.valid, bbox_s, cfg, pflip)
 
+    if cfg.cross_check:
+        # mutual-NN filter (the reference's commented-out cross-check,
+        # FEAmatcher.cpp:407-422) applied before SCC in both directions
+        c1j = jnp.clip(nn_1.corres, 0)
+        mutual_1 = (nn_1.corres >= 0) & (nn_2.corres[c1j] == jnp.arange(nn_1.corres.shape[0]))
+        c2i = jnp.clip(nn_2.corres, 0)
+        mutual_2 = (nn_2.corres >= 0) & (nn_1.corres[c2i] == jnp.arange(nn_2.corres.shape[0]))
+        nn_1 = nn_1._replace(corres=jnp.where(mutual_1, nn_1.corres, -1))
+        nn_2 = nn_2._replace(corres=jnp.where(mutual_2, nn_2.corres, -1))
+
     parity = jnp.asarray(img_id_s % 2 != img_id_t % 2)
     key = jax.random.PRNGKey(cfg.rng_seed)
     k1, k2 = jax.random.split(key)

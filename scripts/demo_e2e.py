@@ -64,7 +64,8 @@ if args.detected:
     cfg = dataclasses.replace(
         cfg,
         detector=DetectorConfig(n_features=800, desc_size_scale=8.0 / 31.0),
-        matcher=MatcherConfig(ratio_excl_radius=2.0, ratio_test=0.6, sift_dist_bound=450.0),
+        matcher=MatcherConfig(ratio_excl_radius=2.0, ratio_test=0.6, sift_dist_bound=450.0,
+                              cross_check=True, scc_mode="xy"),
         pose_graph=PoseGraphConfig(use_anno=False),
     )
 t0 = time.perf_counter()

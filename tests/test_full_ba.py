@@ -97,3 +97,26 @@ class TestPoseVariances:
         txy_early = var[1:50, 3:5].mean()
         txy_late = var[-50:, 3:5].mean()
         assert txy_late > txy_early, (txy_early, txy_late)
+
+
+@pytest.mark.slow
+def test_fully_automatic_pipeline_improves():
+    """detect -> cross-checked match -> joint BA must improve ATE with ZERO
+    annotations on a crossing survey (the fully automatic flagship path)."""
+    from diasss_tpu.config import DetectorConfig, MatcherConfig, PoseGraphConfig
+
+    survey = make_survey(n_lines=3, n_pings=400, n_bins=512, n_landmarks=200,
+                         n_tie_lines=1, seed=11)
+    frames = [
+        build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+        for l in survey.lines
+    ]
+    cfg = PipelineConfig(
+        min_overlap=0.1, estimator="full_ba",
+        detector=DetectorConfig(n_features=1500, desc_size_scale=8.0 / 31.0),
+        matcher=MatcherConfig(ratio_excl_radius=2.0, ratio_test=0.6, sift_dist_bound=450.0,
+                              cross_check=True, scc_mode="xy"),
+        pose_graph=PoseGraphConfig(use_anno=False),
+    )
+    r = run_slam(frames, cfg, gt_rows_list=[l.gt_poses for l in survey.lines], run_eval2=False)
+    assert r.ate_est < r.ate_dr, (r.ate_dr, r.ate_est)
