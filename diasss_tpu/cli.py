@@ -35,8 +35,15 @@ def main(argv=None) -> int:
                         help="two_stage = reference-parity; full_ba = joint Schur BA")
     parser.add_argument("--detected", action="store_true",
                         help="detect+match features instead of using annotations (USE_ANNO=0)")
-    parser.add_argument("--descriptor", default="sift", choices=["sift", "orb"],
-                        help="descriptor family for --detected (orb = binary/Hamming)")
+    parser.add_argument("--descriptor", default="sift", choices=["sift", "orb", "geo_patch"],
+                        help="descriptor family for --detected (orb = binary/Hamming; "
+                             "geo_patch = world-aligned NCC)")
+    parser.add_argument("--auto", action="store_true",
+                        help="fully-automatic profile: dense world-correlation matching + "
+                             "joint full BA + drift-compensated re-matching (zero annotations; "
+                             "the annotation folder is still read for evaluation)")
+    parser.add_argument("--drift-budget", type=float, default=4.0,
+                        help="--auto: largest credible DR drift between overlapping lines (m)")
     parser.add_argument("--min-overlap", type=float, default=None,
                         help="override the pair-gate IoU threshold (reference: 0.4)")
     args = parser.parse_args(argv)
@@ -55,19 +62,25 @@ def main(argv=None) -> int:
     from .io import load_input_data
     from .pipeline import run_slam
 
-    pipe_cfg = PipelineConfig(estimator=args.estimator)
+    if args.auto:
+        from .config import automatic_config
+
+        pipe_cfg = automatic_config(drift_budget=args.drift_budget)
+    else:
+        pipe_cfg = PipelineConfig(estimator=args.estimator)
     if args.min_overlap is not None:
         pipe_cfg = dataclasses.replace(pipe_cfg, min_overlap=args.min_overlap)
-    if args.detected:
+    if args.detected and not args.auto:
         from .config import DetectorConfig, MatcherConfig, PoseGraphConfig
 
-        mcfg = (
-            MatcherConfig(desc_metric="hamming", ratio_excl_radius=2.0, ratio_test=0.8,
-                          cross_check=True, scc_mode="xy")
-            if args.descriptor == "orb"
-            else MatcherConfig(ratio_excl_radius=2.0, ratio_test=0.6, sift_dist_bound=450.0,
-                               cross_check=True, scc_mode="xy")
-        )
+        if args.descriptor == "orb":
+            mcfg = MatcherConfig(desc_metric="hamming", ratio_excl_radius=2.0, ratio_test=0.8,
+                                 cross_check=True, scc_mode="xy")
+        elif args.descriptor == "geo_patch":
+            mcfg = MatcherConfig(desc_metric="ncc", cross_check=True, scc_mode="xy")
+        else:
+            mcfg = MatcherConfig(ratio_excl_radius=2.0, ratio_test=0.6, sift_dist_bound=450.0,
+                                 cross_check=True, scc_mode="xy")
         pipe_cfg = dataclasses.replace(
             pipe_cfg,
             detector=DetectorConfig(descriptor=args.descriptor, desc_size_scale=8.0 / 31.0),

@@ -26,8 +26,14 @@ class DetectorConfig:
     blur_sigma: float = 2.0  # ORBextractor.cpp:1092
     # "sift" = the reference's live path (128-d float); "orb" = the binary
     # steered-BRIEF path the reference ships as dead code (pluggable per
-    # SURVEY §7 step 5); matched with L2 or Hamming accordingly
+    # SURVEY §7 step 5); "geo_patch" = world-aligned NCC patches
+    # (features/geopatch.py — beyond-reference, heading/side/flip-invariant by
+    # construction; matched with desc_metric="ncc").  geo_patch descriptors are
+    # attached by the pipeline (they need the frame's geo map) and recomputed
+    # when re-matching with drift-compensated geo.
     descriptor: str = "sift"
+    geopatch_half: int = 8  # patch half-extent in world grid cells
+    geopatch_res: float = 0.5  # world grid resolution (m)
     # Descriptor window multiplier.  1.0 = reference parity: kp.size = 31 *
     # scale^level fed to SIFT (ORBextractor.cpp:847 + SiftDescriptorExtractor),
     # which yields ~+-93 px windows.  Values < 1 shrink the window toward the
@@ -58,10 +64,20 @@ class NormalizeConfig:
 class MatcherConfig:
     """Robust matcher parameters (FEAmatcher.cpp)."""
 
+    # "kp" = reference-parity keypoint-to-keypoint search (geosearch.py);
+    # "dense" = dense world-correlation search (dense.py, beyond-reference)
+    mode: str = "kp"
+    dense: "DenseMatchConfig" = dataclasses.field(
+        default_factory=lambda: DenseMatchConfig()
+    )
     geo_radius: float = 8.0  # geo search radius in meters (FEAmatcher.cpp:67)
     sift_dist_bound: float = 350.0  # L2 descriptor bound (FEAmatcher.cpp:108)
     ratio_test: float = 0.35  # first/second NN ratio (FEAmatcher.cpp:110)
-    desc_metric: str = "l2"  # "l2" (SIFT) | "hamming" (ORB binary path)
+    # "l2" (SIFT) | "hamming" (ORB binary path) | "ncc" (geo-patch descriptors:
+    # distance = 1 - normalized cross-correlation, one MXU matmul)
+    desc_metric: str = "l2"
+    ncc_min: float = 0.35  # minimum NCC to accept (ncc metric only)
+    ncc_ratio: float = 1.0  # first/second ratio on (1 - ncc); 1.0 disables
     orb_dist_bound: float = 88.0  # Hamming bound (FEAmatcher.cpp:143)
     orb_dist_bound_cross: float = 80.0  # opposite-parity bound (FEAmatcher.cpp:145)
     scc_max_iters: int = 1000  # RANSAC hypotheses (FEAmatcher.cpp:189)
@@ -85,6 +101,30 @@ class MatcherConfig:
     # defeated by near-duplicate neighbors of the true match; excluding the
     # best's spatial neighborhood restores its discriminative meaning.
     ratio_excl_radius: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseMatchConfig:
+    """Dense world-correlation matcher (matching/dense.py) — beyond-reference.
+
+    Replaces keypoint-to-keypoint descriptor matching with a sliding NCC search
+    of each source geo-patch over the target frame's world raster: yield no
+    longer depends on cross-pass detector repeatability (the measured
+    bottleneck on speckle imagery).  Select with ``MatcherConfig.mode="dense"``.
+    """
+
+    search_radius: float = 10.0  # candidate offsets within this many meters
+    step_cells: int = 2  # candidate stride in raster cells
+    ncc_min: float = 0.35  # minimum correlation to accept
+    ncc_ratio: float = 1.0  # (1-best) <= ratio * (1-second); 1.0 disables
+    min_cover: float = 0.6  # fraction of patch cells with raster data
+    # local displacement-field consistency filter (replaces the global
+    # along-track-offset SCC, which under-fits drift that varies along a line)
+    smooth_radius: float = 20.0  # neighborhood radius (m)
+    smooth_min_neighbors: int = 2
+    smooth_tol: float = 1.5  # max deviation from the local median (m)
+    # defaults measured on drifting synthetic surveys: 420/424 correct matches
+    # at ncc_min=0.35/tol=1.5/min_neighbors=2 (vs 70 at 0.45/1.0/3)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,47 +182,6 @@ class PoseGraphConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class PipelineConfig:
-    min_overlap: float = 0.4  # pair gate (diasss2.cpp:28)
-    # "two_stage" = reference-parity estimation (per-correspondence LC solves +
-    # pose graph, optimizer.cpp:641-982 + :21-317); "full_ba" = joint
-    # pose+landmark bundle adjustment with Schur elimination (solvers/full_ba.py)
-    # — uses every nadir-passing correspondence, recovers cross-track drift from
-    # crossing lines, measured ~4x lower ATE on tie-line surveys
-    estimator: str = "two_stage"
-    detector: DetectorConfig = dataclasses.field(default_factory=DetectorConfig)
-    mask: MaskConfig = dataclasses.field(default_factory=MaskConfig)
-    normalize: NormalizeConfig = dataclasses.field(default_factory=NormalizeConfig)
-    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
-    kp_noise: KeypointNoiseConfig = dataclasses.field(default_factory=KeypointNoiseConfig)
-    loop_closure: LoopClosureConfig = dataclasses.field(default_factory=LoopClosureConfig)
-    pose_graph: PoseGraphConfig = dataclasses.field(default_factory=PoseGraphConfig)
-
-
-DEFAULT = PipelineConfig()
-
-
-def pair_mode_config() -> PipelineConfig:
-    """The pairwise-variant constants of ``Optimizer::TrajOptimizationPair``
-    (optimizer.cpp:321-334): USE_ANNO=0, looser odometry noise
-    (0.01deg/0.05deg, 0.05 m xy, 0.01 m z) and 5 m / 5 deg injected initial
-    noise."""
-    return PipelineConfig(
-        pose_graph=PoseGraphConfig(
-            odo_sigma_ro_deg=0.01,
-            odo_sigma_pi_deg=0.01,
-            odo_sigma_ya_deg=0.05,
-            odo_sigma_x=0.05,
-            odo_sigma_y=0.05,
-            odo_sigma_z=0.01,
-            init_noise_xyz=5.0,
-            init_noise_rpy_deg=5.0,
-            use_anno=False,
-        )
-    )
-
-
-@dataclasses.dataclass(frozen=True)
 class FullBAConfig:
     """Joint pose+landmark bundle adjustment (solvers/full_ba.py) — the
     beyond-reference estimation mode (BASELINE north star: Schur-complement BA
@@ -209,3 +208,89 @@ class FullBAConfig:
     cg_max_iters: int = 250
     preconditioner: str = "auto"  # "jacobi" | "tridiag" | "auto" (by backend)
     tridiag_segment: int = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    min_overlap: float = 0.4  # pair gate (diasss2.cpp:28)
+    # "two_stage" = reference-parity estimation (per-correspondence LC solves +
+    # pose graph, optimizer.cpp:641-982 + :21-317); "full_ba" = joint
+    # pose+landmark bundle adjustment with Schur elimination (solvers/full_ba.py)
+    # — uses every nadir-passing correspondence, recovers cross-track drift from
+    # crossing lines, measured ~4x lower ATE on tie-line surveys
+    estimator: str = "two_stage"
+    detector: DetectorConfig = dataclasses.field(default_factory=DetectorConfig)
+    mask: MaskConfig = dataclasses.field(default_factory=MaskConfig)
+    normalize: NormalizeConfig = dataclasses.field(default_factory=NormalizeConfig)
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    kp_noise: KeypointNoiseConfig = dataclasses.field(default_factory=KeypointNoiseConfig)
+    loop_closure: LoopClosureConfig = dataclasses.field(default_factory=LoopClosureConfig)
+    pose_graph: PoseGraphConfig = dataclasses.field(default_factory=PoseGraphConfig)
+    full_ba: FullBAConfig = dataclasses.field(default_factory=FullBAConfig)
+    # Drift-compensated re-matching (detected path only; beyond-reference).
+    # After each solve, every frame's geo image is recomputed from the ESTIMATED
+    # poses and matching re-runs with the re-centered (and tighter) geo gate —
+    # recovering correspondences the DR drift pushed outside the search radius,
+    # then re-solving warm-started.  Measured to monotonically improve ATE and
+    # match precision on drifting synthetic surveys (NOTES_ROUND1.md).
+    rematch_iters: int = 0
+    rematch_geo_radius: float = 3.0  # tighter gate once drift is compensated
+    rematch_geo_discrepancy: float = 2.0  # full-BA gate on re-iterations
+
+
+DEFAULT = PipelineConfig()
+
+
+def pair_mode_config() -> PipelineConfig:
+    """The pairwise-variant constants of ``Optimizer::TrajOptimizationPair``
+    (optimizer.cpp:321-334): USE_ANNO=0, looser odometry noise
+    (0.01deg/0.05deg, 0.05 m xy, 0.01 m z) and 5 m / 5 deg injected initial
+    noise."""
+    return PipelineConfig(
+        pose_graph=PoseGraphConfig(
+            odo_sigma_ro_deg=0.01,
+            odo_sigma_pi_deg=0.01,
+            odo_sigma_ya_deg=0.05,
+            odo_sigma_x=0.05,
+            odo_sigma_y=0.05,
+            odo_sigma_z=0.01,
+            init_noise_xyz=5.0,
+            init_noise_rpy_deg=5.0,
+            use_anno=False,
+        )
+    )
+
+
+def automatic_config(drift_budget: float = 4.0) -> PipelineConfig:
+    """Fully-automatic SLAM profile: ZERO annotations, tuned for cross-pass
+    matching on real sonar physics.
+
+    Combines the beyond-reference pieces that make the automatic path actually
+    improve the trajectory (each measured individually, NOTES_ROUND1.md):
+    world-aligned geo-patch descriptors + NCC matching (heading/side/flip
+    invariant), mutual cross-check, two-axis SCC (crossing lines), joint
+    full-BA estimation with the DR geo-discrepancy gate, and drift-compensated
+    re-matching.
+
+    ``drift_budget``: largest credible DR drift between overlapping lines (m) —
+    sets the first-pass geo-discrepancy gate.
+    """
+    return PipelineConfig(
+        min_overlap=0.1,  # admit tie-line crossings (main-vs-tie IoU ~0.2)
+        estimator="full_ba",
+        detector=DetectorConfig(descriptor="geo_patch"),
+        matcher=MatcherConfig(
+            mode="dense",
+            dense=DenseMatchConfig(search_radius=max(10.0, 1.5 * drift_budget)),
+            # kp-mode fields kept sane in case the caller flips mode back
+            desc_metric="ncc",
+            geo_radius=10.0,
+            cross_check=True,
+            scc_mode="xy",
+        ),
+        pose_graph=PoseGraphConfig(use_anno=False),
+        full_ba=FullBAConfig(max_geo_discrepancy=drift_budget),
+        rematch_iters=2,
+        rematch_geo_radius=6.0,
+        rematch_geo_discrepancy=4.0,
+    )

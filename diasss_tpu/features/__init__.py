@@ -8,5 +8,11 @@ ORBextractor.cpp:1097-1098).
 """
 
 from .detector import DetectedFeatures, detect_features
+from .geopatch import attach_geo_patch_descriptors, geo_patch_descriptors
 
-__all__ = ["DetectedFeatures", "detect_features"]
+__all__ = [
+    "DetectedFeatures",
+    "detect_features",
+    "attach_geo_patch_descriptors",
+    "geo_patch_descriptors",
+]

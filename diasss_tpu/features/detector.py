@@ -138,7 +138,11 @@ def _detect_level(limg: jnp.ndarray, lvl: int, k_level: int, cfg: DetectorConfig
     blurred = gaussian_blur(limg, cfg.blur_ksize, cfg.blur_sigma)
     size_lvl = PATCH_SIZE * scale  # kp.size convention (ORBextractor.cpp:847)
     sizes_arr = jnp.full((k_level,), size_lvl * cfg.desc_size_scale, jnp.float32)
-    if cfg.descriptor == "orb":
+    if cfg.descriptor == "geo_patch":
+        # world-aligned patches are attached by the pipeline (they need the
+        # frame's geo map, and re-matching recomputes them per solve iteration)
+        desc = jnp.zeros((k_level, 1), jnp.float32)
+    elif cfg.descriptor == "orb":
         from .orb_desc import orb_descriptors
 
         desc = orb_descriptors(blurred, xy, ang, sizes_arr)

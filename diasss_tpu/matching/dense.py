@@ -1,0 +1,311 @@
+"""Dense world-correlation matching — repeatability-free correspondence search.
+
+The keypoint matcher (geosearch.py, FEAmatcher parity) requires the SAME
+physical point to be detected in BOTH frames; on speckle-dominated sonar
+imagery FAST repeatability across passes is the yield bottleneck (measured:
+~150 cross-detected points from 2x2000 keypoints, NOTES_ROUND1.md).  This
+module removes that requirement:
+
+1. rasterize the TARGET frame into a world-aligned grid (scatter-mean of the
+   normalized waterfall — same op as :mod:`..mosaic`), keeping per-cell mean
+   (ping, bin) provenance so matches map back to waterfall coordinates;
+2. rasterize the SOURCE frame the same way and read each source keypoint's
+   world-aligned patch out of it (both sides must see the SAME cell-average
+   smoothing: correlating point-sampled patches against cell-averaged ones
+   loses ~0.2 NCC on speckle — measured), then slide that patch over candidate
+   world offsets around the keypoint's predicted position and score normalized
+   cross-correlation — patch grid and raster share resolution and axis
+   alignment, so each candidate is a direct window read, and the search is one
+   batched (n_offsets, K) score tensor;
+3. verify with a LOCAL DISPLACEMENT-FIELD consistency filter: true matches of
+   nearby keypoints share the same drift displacement (drift is smooth), so
+   each match must agree with the median displacement of its spatial
+   neighbors.  This replaces the reference's single global along-track-offset
+   SCC (FEAmatcher.cpp:185-248), which under-fits surveys whose drift varies
+   along the line.
+
+Works for ANY source keypoint over textured seafloor — yield scales with
+keypoint count, not with cross-pass detector repeatability.  All device work
+is fixed-shape and batched (raster dims bucketed to multiples of 64).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DenseMatchConfig, DetectorConfig
+from ..features.detector import DetectedFeatures
+
+
+class WorldRaster(NamedTuple):
+    img: jnp.ndarray  # (H, W) mean normalized intensity (0 where empty)
+    cnt: jnp.ndarray  # (H, W) contributing-pixel count
+    ping: jnp.ndarray  # (H, W) mean source ping index
+    col: jnp.ndarray  # (H, W) mean source bin (column) index
+    x0: float
+    y0: float
+    res: float
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _rasterize(norm_img, geo, x0, y0, res, width: int, height: int):
+    n, m = norm_img.shape
+    xi = jnp.clip(((geo[..., 0] - x0) / res).astype(jnp.int32), 0, width - 1)
+    yi = jnp.clip(((geo[..., 1] - y0) / res).astype(jnp.int32), 0, height - 1)
+    flat = (yi * width + xi).ravel()
+    v = norm_img.astype(jnp.float32).ravel()
+    pings = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float32)[:, None], (n, m)).ravel()
+    cols = jnp.broadcast_to(jnp.arange(m, dtype=jnp.float32)[None, :], (n, m)).ravel()
+    total = width * height
+    c = jax.ops.segment_sum(jnp.ones_like(v), flat, total)
+    s = jax.ops.segment_sum(v, flat, total)
+    sp = jax.ops.segment_sum(pings, flat, total)
+    sc = jax.ops.segment_sum(cols, flat, total)
+    cs = jnp.maximum(c, 1.0)
+    return (
+        (s / cs).reshape(height, width),
+        c.reshape(height, width),
+        (sp / cs).reshape(height, width),
+        (sc / cs).reshape(height, width),
+    )
+
+
+def world_raster(norm_img, geo, res: float, margin: float = 2.0) -> WorldRaster:
+    """World-aligned raster of one frame (dims bucketed to multiples of 64 so
+    similar frames share compiled programs)."""
+    gx = np.asarray(geo[..., 0])
+    gy = np.asarray(geo[..., 1])
+    x0 = float(gx.min() - margin)
+    y0 = float(gy.min() - margin)
+    width = int(np.ceil((gx.max() + margin - x0) / res)) + 1
+    height = int(np.ceil((gy.max() + margin - y0) / res)) + 1
+    width = int(np.ceil(width / 64) * 64)
+    height = int(np.ceil(height / 64) * 64)
+    img, cnt, ping, col = _rasterize(norm_img, geo, x0, y0, res, width, height)
+    return WorldRaster(img, cnt, ping, col, x0, y0, res)
+
+
+@functools.partial(jax.jit, static_argnames=("half", "min_cover"))
+def _raster_patches(raster: WorldRaster, geo_kp: jnp.ndarray, half: int, min_cover: float):
+    """(K, (2*half+1)^2) mean-free unit patches read from a frame's own world
+    raster at each keypoint's cell, + validity (coverage & contrast)."""
+    H, W = raster.img.shape
+    cx = jnp.round((geo_kp[:, 0] - raster.x0) / raster.res).astype(jnp.int32)
+    cy = jnp.round((geo_kp[:, 1] - raster.y0) / raster.res).astype(jnp.int32)
+    d = jnp.arange(-half, half + 1)
+    yy = jnp.clip(cy[:, None, None] + d[:, None], 0, H - 1)
+    xx = jnp.clip(cx[:, None, None] + d[None, :], 0, W - 1)
+    k = 2 * half + 1
+    v = raster.img[yy, xx].reshape(-1, k * k)
+    have = (raster.cnt[yy, xx] > 0).reshape(-1, k * k)
+    nh = jnp.sum(have, axis=1)
+    mean = jnp.sum(jnp.where(have, v, 0.0), axis=1) / jnp.maximum(nh, 1)
+    vz = jnp.where(have, v - mean[:, None], 0.0)
+    nrm = jnp.linalg.norm(vz, axis=1)
+    desc = vz / jnp.maximum(nrm, 1e-6)[:, None]
+    return desc, (nh >= min_cover * k * k) & (nrm > 1e-3)
+
+
+class DenseMatches(NamedTuple):
+    tgt_geo: jnp.ndarray  # (K, 2) matched world position in the target raster
+    tgt_ping: jnp.ndarray  # (K,) target ping (float, scatter-mean provenance)
+    tgt_col: jnp.ndarray  # (K,) target bin
+    score: jnp.ndarray  # (K,) best NCC
+    ok: jnp.ndarray  # (K,) accepted mask (pre smoothness filter)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("half", "n_ring", "step_cells", "ncc_min", "ncc_ratio", "min_cover")
+)
+def _correlate(
+    desc_q: jnp.ndarray,  # (K, G) world-aligned unit patches of the source kps
+    ok_q: jnp.ndarray,  # (K,)
+    geo_q: jnp.ndarray,  # (K, 2) source kp world positions
+    raster: WorldRaster,
+    half: int,
+    n_ring: int,  # search extent in CELLS on each side
+    step_cells: int,
+    ncc_min: float,
+    ncc_ratio: float,
+    min_cover: float,
+):
+    img, cnt = raster.img, raster.cnt
+    H, W = img.shape
+    res = raster.res
+    k = 2 * half + 1
+
+    # source kp center cell in the target raster
+    cx = jnp.round((geo_q[:, 0] - raster.x0) / res).astype(jnp.int32)
+    cy = jnp.round((geo_q[:, 1] - raster.y0) / res).astype(jnp.int32)
+
+    # candidate offsets (cells), row-major grid
+    g = jnp.arange(-n_ring, n_ring + 1, step_cells, dtype=jnp.int32)
+    oy, ox = jnp.meshgrid(g, g, indexing="ij")
+    offs = jnp.stack([oy.ravel(), ox.ravel()], axis=1)  # (O, 2)
+
+    dyy = jnp.arange(-half, half + 1)
+    patch_dy = dyy[:, None].astype(jnp.int32)
+    patch_dx = dyy[None, :].astype(jnp.int32)
+
+    def score_at(off_y, off_x):
+        """NCC of every source patch against the raster window at per-keypoint
+        (or scalar) cell offset (off_y, off_x)."""
+        yy = jnp.clip((cy + off_y)[:, None, None] + patch_dy, 0, H - 1)
+        xx = jnp.clip((cx + off_x)[:, None, None] + patch_dx, 0, W - 1)
+        v = img[yy, xx].reshape(-1, k * k)  # (K, G)
+        have = (cnt[yy, xx] > 0).reshape(-1, k * k)
+        nhave = jnp.sum(have, axis=1)
+        mean = jnp.sum(jnp.where(have, v, 0.0), axis=1) / jnp.maximum(nhave, 1)
+        vz = jnp.where(have, v - mean[:, None], 0.0)
+        nrm = jnp.linalg.norm(vz, axis=1)
+        p = vz / jnp.maximum(nrm, 1e-6)[:, None]
+        s = jnp.einsum("kg,kg->k", desc_q, p)
+        cover_ok = nhave >= min_cover * k * k
+        inb = (
+            (cy + off_y - half >= 0)
+            & (cy + off_y + half < H)
+            & (cx + off_x - half >= 0)
+            & (cx + off_x + half < W)
+        )
+        return jnp.where(cover_ok & inb & (nrm > 1e-3), s, -2.0)
+
+    scores = jax.lax.map(lambda o: score_at(o[0], o[1]), offs)  # (O, K)
+
+    best_o = jnp.argmax(scores, axis=0)  # (K,)
+    best = jnp.take_along_axis(scores, best_o[None, :], axis=0)[0]
+    # second best outside the best's immediate neighborhood (correlated cells)
+    sep = jnp.max(jnp.abs(offs[:, None, :] - offs[best_o][None, :, :]), axis=-1)  # (O, K)
+    far = sep > max(2, step_cells)
+    second = jnp.max(jnp.where(far, scores, -2.0), axis=0)
+
+    boff = offs[best_o]  # (K, 2) cells
+    if step_cells > 1:
+        # stride-1 refinement around the coarse winner: the coarse lattice
+        # quantizes the match position by up to step_cells cells, which feeds
+        # straight into the BA measurement error
+        dg = jnp.arange(-(step_cells - 1), step_cells, dtype=jnp.int32)
+        ddy, ddx = jnp.meshgrid(dg, dg, indexing="ij")
+        deltas = jnp.stack([ddy.ravel(), ddx.ravel()], axis=1)  # (D, 2)
+        fine = jax.lax.map(
+            lambda d: score_at(boff[:, 0] + d[0], boff[:, 1] + d[1]), deltas
+        )  # (D, K)
+        fbest = jnp.argmax(fine, axis=0)
+        best = jnp.take_along_axis(fine, fbest[None, :], axis=0)[0]
+        boff = boff + deltas[fbest]
+
+    ok = ok_q & (best >= ncc_min)
+    if ncc_ratio < 1.0:
+        ok = ok & ((1.0 - best) <= ncc_ratio * (1.0 - jnp.maximum(second, -1.0)))
+
+    myy = jnp.clip(cy + boff[:, 0], 0, H - 1)
+    mxx = jnp.clip(cx + boff[:, 1], 0, W - 1)
+    tgt_geo = jnp.stack(
+        [raster.x0 + mxx.astype(jnp.float32) * res, raster.y0 + myy.astype(jnp.float32) * res],
+        axis=1,
+    )
+    return DenseMatches(
+        tgt_geo=tgt_geo,
+        tgt_ping=raster.ping[myy, mxx],
+        tgt_col=raster.col[myy, mxx],
+        score=best,
+        ok=ok,
+    )
+
+
+def _smooth_filter(kp_geo: np.ndarray, tgt_geo: np.ndarray, ok: np.ndarray, cfg: DenseMatchConfig):
+    """Local displacement-field consistency: keep matches whose displacement
+    agrees (within ``smooth_tol``) with the componentwise median displacement
+    of accepted neighbors within ``smooth_radius``; matches with fewer than
+    ``smooth_min_neighbors`` neighbors are dropped (no local support)."""
+    d = tgt_geo - kp_geo  # (K, 2)
+    idx = np.nonzero(ok)[0]
+    if len(idx) == 0:
+        return ok
+    P = kp_geo[idx]
+    D = d[idx]
+    dist = np.linalg.norm(P[:, None, :] - P[None, :, :], axis=-1)
+    nbr = (dist <= cfg.smooth_radius) & ~np.eye(len(idx), dtype=bool)
+    keep = np.zeros(len(idx), bool)
+    for a in range(len(idx)):
+        nn = np.nonzero(nbr[a])[0]
+        if len(nn) < cfg.smooth_min_neighbors:
+            continue
+        med = np.median(D[nn], axis=0)
+        keep[a] = np.linalg.norm(D[a] - med) <= cfg.smooth_tol
+    out = np.zeros_like(ok)
+    out[idx[keep]] = True
+    return out
+
+
+def dense_matching(
+    img_id_s: int,
+    img_id_t: int,
+    feats_s: DetectedFeatures,
+    frame_s_norm: jnp.ndarray,
+    geo_s: jnp.ndarray,
+    frame_t_norm: jnp.ndarray,
+    geo_t: jnp.ndarray,
+    det_cfg: DetectorConfig,
+    cfg: DenseMatchConfig,
+    raster_s: WorldRaster | None = None,
+    raster_t: WorldRaster | None = None,
+):
+    """Match source keypoints into the target frame by dense world correlation.
+
+    Returns ``(rows_s, rows_t, n_matches)`` in the corres_kps layout
+    (img_id, ref_id, ping, bin, ref_ping, ref_bin) — drop-in for the keypoint
+    matcher's output (FEAmatcher.cpp:37-44).  ``raster_s``/``raster_t`` can be
+    passed in to reuse across pairs sharing a frame.
+    """
+    res = det_cfg.geopatch_res
+    xi = jnp.clip(feats_s.xy[:, 0].astype(jnp.int32), 0, geo_s.shape[1] - 1)
+    yi = jnp.clip(feats_s.xy[:, 1].astype(jnp.int32), 0, geo_s.shape[0] - 1)
+    geo_kp = geo_s[yi, xi]
+
+    if raster_s is None:
+        raster_s = world_raster(frame_s_norm, geo_s, res)
+    if raster_t is None:
+        raster_t = world_raster(frame_t_norm, geo_t, res)
+    desc_q, ok_q = _raster_patches(raster_s, geo_kp, det_cfg.geopatch_half, cfg.min_cover)
+    n_ring = int(np.ceil(cfg.search_radius / res))
+    dm = _correlate(
+        desc_q,
+        ok_q & feats_s.valid,
+        geo_kp,
+        raster_t,
+        half=det_cfg.geopatch_half,
+        n_ring=n_ring,
+        step_cells=cfg.step_cells,
+        ncc_min=cfg.ncc_min,
+        ncc_ratio=cfg.ncc_ratio,
+        min_cover=cfg.min_cover,
+    )
+
+    kp_geo_np = np.asarray(geo_kp)
+    tgt_geo_np = np.asarray(dm.tgt_geo)
+    ok_np = np.asarray(dm.ok)
+    keep = _smooth_filter(kp_geo_np, tgt_geo_np, ok_np, cfg)
+
+    xy = np.asarray(feats_s.xy)
+    ping_t = np.asarray(dm.tgt_ping)
+    col_t = np.asarray(dm.tgt_col)
+    idx = np.nonzero(keep)[0]
+    n = len(idx)
+    rows_s = np.empty((n, 6), np.float64)
+    rows_s[:, 0] = img_id_s
+    rows_s[:, 1] = img_id_t
+    rows_s[:, 2] = xy[idx, 1]
+    rows_s[:, 3] = xy[idx, 0]
+    rows_s[:, 4] = np.round(ping_t[idx])
+    rows_s[:, 5] = np.round(col_t[idx])
+    rows_t = np.empty((n, 6), np.float64)
+    rows_t[:, 0] = img_id_t
+    rows_t[:, 1] = img_id_s
+    rows_t[:, 2:4] = rows_s[:, 4:6]
+    rows_t[:, 4:6] = rows_s[:, 2:4]
+    return rows_s, rows_t, n

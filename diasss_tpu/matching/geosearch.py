@@ -62,6 +62,11 @@ def geo_nn_search(
 
         dist = hamming_matrix(desc_q, desc_r)
         bound = cfg.orb_dist_bound_cross if parity_flip else cfg.orb_dist_bound
+    elif cfg.desc_metric == "ncc":
+        # geo-patch path: descriptors are mean-free unit vectors, so the dot
+        # product IS the normalized cross-correlation; distance = 1 - NCC
+        dist = 1.0 - jnp.matmul(desc_q, desc_r.T, precision=_HI)
+        bound = 1.0 - cfg.ncc_min
     else:
         # SIFT L2 distances via the matmul identity
         q2 = jnp.sum(desc_q * desc_q, axis=-1)
@@ -90,7 +95,8 @@ def geo_nn_search(
         second = -neg2[:, 1] if k == 2 else jnp.full_like(best, _BIG)
     n_cand = jnp.sum(gate, axis=-1)
 
-    ratio_ok = best / jnp.maximum(second, 1e-9) <= cfg.ratio_test
+    ratio_thr = cfg.ncc_ratio if cfg.desc_metric == "ncc" else cfg.ratio_test
+    ratio_ok = best / jnp.maximum(second, 1e-9) <= ratio_thr
     if cfg.desc_metric == "hamming":
         # ORB accept rule (FEAmatcher.cpp:166-175): <= bound, ratio, and a real
         # second-best must exist; single-candidate escape identical

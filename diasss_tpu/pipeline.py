@@ -11,6 +11,12 @@ Two estimators (PipelineConfig.estimator): "two_stage" is the reference-parity
 flow above; "full_ba" replaces the LC + pose-graph stages with the joint
 Schur-complement bundle adjustment (:mod:`.solvers.full_ba`).
 
+The detected path (use_anno=False) optionally iterates: after each solve the
+frames' geo images are recomputed from the ESTIMATED poses and matching re-runs
+with the re-centered, tightened geo gate (PipelineConfig.rematch_iters) —
+drift-compensated re-matching, a beyond-reference capability that recovers the
+correspondences DR drift pushed outside the search radius.
+
 Host-side code here is orchestration only; every numeric stage is a jitted
 batched device computation.
 """
@@ -101,63 +107,76 @@ def _overlap_pairs(frames: List[Keyframe], min_overlap: float) -> List[Tuple[int
     return out
 
 
-def run_slam(
-    frames: List[Keyframe],
-    cfg: PipelineConfig = PipelineConfig(),
-    gt_rows_list: Optional[List[np.ndarray]] = None,
-    out_dir: Optional[str] = None,
-    run_eval2: bool = True,
-) -> SlamResult:
-    timings: Dict[str, float] = {}
-    t0 = time.perf_counter()
+def _match_pairs(frames, feats, geo_list, pair_ids, cfg: PipelineConfig, matcher_cfg):
+    """Detected-correspondence matching (C8) over all gated pairs; geo gating
+    against ``geo_list`` (DR geo, or drift-compensated geo on re-iterations)."""
+    from .features import attach_geo_patch_descriptors
+    from .matching import robust_matching
 
-    # --- pair gating (C9) ---
-    pair_ids = _overlap_pairs(frames, cfg.min_overlap)
-    timings["overlap_gate"] = time.perf_counter() - t0
-
-    # --- detected-correspondence path (USE_ANNO=0): detect + match (C6-C8) ---
-    use_anno = cfg.pose_graph.use_anno
+    if matcher_cfg.mode == "dense":
+        return _match_pairs_dense(frames, feats, geo_list, pair_ids, cfg, matcher_cfg)
+    if cfg.detector.descriptor == "geo_patch":
+        feats = [
+            attach_geo_patch_descriptors(ft, f.norm, g, cfg.detector)
+            for ft, f, g in zip(feats, frames, geo_list)
+        ]
     corres_rows: Dict[int, list] = {i: [] for i in range(len(frames))}
-    if not use_anno:
-        from .features import detect_features
-        from .matching import robust_matching
+    for (i, j) in pair_ids:
+        m = robust_matching(
+            frames[i].img_id,
+            frames[j].img_id,
+            feats[i],
+            feats[j],
+            geo_list[i],
+            geo_list[j],
+            rows_s=frames[i].raw.shape[0],
+            rows_t=frames[j].raw.shape[0],
+            cfg=matcher_cfg,
+        )
+        if m.n_matches:
+            corres_rows[i].append((frames[j].img_id, m.rows_s))
+            corres_rows[j].append((frames[i].img_id, m.rows_t))
+    return corres_rows
 
-        t0 = time.perf_counter()
-        feats = [detect_features(f.norm, f.mask, cfg.detector) for f in frames]
-        for r in feats:
-            jax.block_until_ready(r.desc)
-        timings["detect"] = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        for (i, j) in pair_ids:
-            m = robust_matching(
-                frames[i].img_id,
-                frames[j].img_id,
-                feats[i],
-                feats[j],
-                frames[i].geo,
-                frames[j].geo,
-                rows_s=frames[i].raw.shape[0],
-                rows_t=frames[j].raw.shape[0],
-                cfg=cfg.matcher,
-            )
-            if m.n_matches:
-                corres_rows[i].append(m.rows_s)
-                corres_rows[j].append(m.rows_t)
-        timings["matching"] = time.perf_counter() - t0
+def _match_pairs_dense(frames, feats, geo_list, pair_ids, cfg: PipelineConfig, matcher_cfg):
+    """Dense world-correlation matching (matching/dense.py): rasterize every
+    frame once per iteration, correlate source keypoint patches per pair."""
+    from .matching.dense import dense_matching, world_raster
 
-    # --- keypoint pair assembly (C10), uniform capacity across pairs ---
-    t0 = time.perf_counter()
+    res = cfg.detector.geopatch_res
+    rasters = [world_raster(f.norm, g, res) for f, g in zip(frames, geo_list)]
+    corres_rows: Dict[int, list] = {i: [] for i in range(len(frames))}
+    for (i, j) in pair_ids:
+        rows_s, rows_t, n = dense_matching(
+            frames[i].img_id,
+            frames[j].img_id,
+            feats[i],
+            frames[i].norm,
+            geo_list[i],
+            frames[j].norm,
+            geo_list[j],
+            cfg.detector,
+            matcher_cfg.dense,
+            raster_s=rasters[i],
+            raster_t=rasters[j],
+        )
+        if n:
+            corres_rows[i].append((frames[j].img_id, rows_s))
+            corres_rows[j].append((frames[i].img_id, rows_t))
+    return corres_rows
+
+
+def _assemble_pairs(frames, corres_rows, pair_ids, cfg: PipelineConfig, use_anno: bool):
+    """Keypoint pair assembly (C10) at a uniform static capacity (power of two,
+    so re-match iterations with shifting match counts reuse compiled programs)."""
     raw_pairs: Dict[Tuple[int, int], np.ndarray] = {}
     for (i, j) in pair_ids:
         if use_anno:
             rows = frames[i].annos
         else:
-            rows = (
-                np.concatenate(corres_rows[i], axis=0)
-                if corres_rows[i]
-                else np.zeros((0, 6))
-            )
+            mine = [r for (ref_id, r) in corres_rows[i] if ref_id == frames[j].img_id]
+            rows = np.concatenate(mine, axis=0) if mine else np.zeros((0, 6))
         kp = get_kps_pairs(
             rows,
             frames[j].img_id,
@@ -173,6 +192,7 @@ def run_slam(
     cap = 1
     for kp in raw_pairs.values():
         cap = max(cap, kp.pairs.shape[0])
+    cap = int(2 ** np.ceil(np.log2(max(cap, 1)))) if cap > 1 else 1
     kps_pairs: Dict[Tuple[int, int], KpsPairs] = {}
     for key, kp in raw_pairs.items():
         padded = np.zeros((cap, 7), np.float32)
@@ -180,17 +200,35 @@ def run_slam(
         valid = np.zeros(cap, bool)
         valid[: kp.valid.shape[0]] = kp.valid
         kps_pairs[key] = KpsPairs(padded, valid)
-    timings["kps_pairs"] = time.perf_counter() - t0
+    return kps_pairs, cap
 
-    # --- full-BA estimator mode: joint poses + landmarks, skips the LC stage ---
-    if cfg.estimator == "full_ba":
-        return _run_full_ba(
-            frames, cfg, kps_pairs, pair_ids, gt_rows_list, out_dir, run_eval2, timings
+
+def _estimated_geo(frames, poses: se3.Pose3) -> List[jnp.ndarray]:
+    """Recompute every frame's geo image from estimated poses (drift-compensated
+    re-matching; same flat-floor projection as frame.cpp:126-165)."""
+    from .geometry import sonar
+
+    est_rows = np.asarray(se3.to_rpyxyz(poses))
+    out = []
+    off = 0
+    for f in frames:
+        n = int(f.dr_poses.shape[0])
+        seg = est_rows[off : off + n]
+        off += n
+        out.append(
+            sonar.geo_image(
+                jnp.asarray(seg[:, 3:5], jnp.float32),
+                jnp.asarray(seg[:, 2], jnp.float32),
+                f.ground_ranges,
+                int(f.raw.shape[1]),
+            )
         )
+    return out
 
-    # --- batched LC mini-solves (C13) ---
-    # When all frames share a shape (the common case), every pair's batch fuses
-    # into ONE stacked device dispatch; otherwise fall back to per-pair solves.
+
+def _solve_two_stage(frames, geo_list, kps_pairs, pair_ids, cap, cfg, timings):
+    """Reference-parity estimation: batched LC mini-solves (C13) -> quality
+    gate -> global pose-graph LM (C15 replacement)."""
     t0 = time.perf_counter()
     lc_results: Dict[Tuple[int, int], LCResult] = {}
     same_shape = len({tuple(f.raw.shape) for f in frames}) == 1
@@ -208,7 +246,7 @@ def run_slam(
             jnp.asarray(src_cat),
             jnp.asarray(tgt_cat),
             jnp.stack([f.dr_poses for f in frames]),
-            jnp.stack([f.geo for f in frames]),
+            jnp.stack(geo_list),
             jnp.stack([f.altitudes for f in frames]),
             jnp.stack([f.ground_ranges for f in frames]),
             n_bins=frames[0].raw.shape[1],
@@ -229,8 +267,8 @@ def run_slam(
                 jnp.asarray(kp.valid),
                 fs.dr_poses,
                 ft.dr_poses,
-                fs.geo,
-                ft.geo,
+                geo_list[i],
+                geo_list[j],
                 fs.altitudes,
                 ft.altitudes,
                 ft.ground_ranges,
@@ -240,12 +278,11 @@ def run_slam(
             )
         for r in lc_results.values():
             jax.block_until_ready(r.quality)
-    timings["loop_closures"] = time.perf_counter() - t0
+    timings["loop_closures"] = timings.get("loop_closures", 0.0) + time.perf_counter() - t0
 
     # --- collect accepted LC factors (quality > 0; optimizer.cpp:234) ---
     t0 = time.perf_counter()
     offsets = np.cumsum([0] + [int(f.dr_poses.shape[0]) for f in frames])
-    frame_slices = [slice(int(offsets[k]), int(offsets[k + 1])) for k in range(len(frames))]
 
     lc_i: List[int] = []
     lc_j: List[int] = []
@@ -283,7 +320,7 @@ def run_slam(
         lc_meas = se3.Pose3(jnp.asarray(np.stack(lc_R)), jnp.asarray(np.stack(lc_t)))
         lc_sigmas = np.stack(lc_sig).astype(np.float32)
         lc_valid = np.ones(n_acc, bool)
-    timings["lc_gate"] = time.perf_counter() - t0
+    timings["lc_gate"] = timings.get("lc_gate", 0.0) + time.perf_counter() - t0
 
     # --- global pose-graph solve (C15 replacement) ---
     t0 = time.perf_counter()
@@ -305,9 +342,111 @@ def run_slam(
     )
     poses, info = solve_pose_graph(graph, cfg.pose_graph)
     jax.block_until_ready(poses.t)
-    timings["pose_graph"] = time.perf_counter() - t0
+    timings["pose_graph"] = timings.get("pose_graph", 0.0) + time.perf_counter() - t0
+    return poses, info, lc_results, n_acc
 
-    # --- evaluation (C18) ---
+
+def _solve_full_ba(frames, geo_list, kps_pairs, pair_ids, cfg, init_poses, it, timings):
+    """Joint bundle-adjustment estimation (PipelineConfig.estimator="full_ba"),
+    warm-started from the previous solve on re-match iterations."""
+    from .solvers.full_ba import build_ba_problem, solve_full_ba
+
+    t0 = time.perf_counter()
+    ba_cfg = cfg.full_ba
+    if not cfg.pose_graph.use_anno and ba_cfg.max_geo_discrepancy == 0:
+        # detected matches carry outliers the joint solve would trust; gate by
+        # the DR geo-discrepancy budget (see FullBAConfig.max_geo_discrepancy)
+        ba_cfg = dataclasses.replace(ba_cfg, max_geo_discrepancy=4.0)
+    if it > 0:
+        # drift-compensated geo: true matches now agree to within the residual
+        # estimation error, so the gate can be much tighter
+        ba_cfg = dataclasses.replace(ba_cfg, max_geo_discrepancy=cfg.rematch_geo_discrepancy)
+    noise_key = (
+        jax.random.PRNGKey(cfg.pose_graph.seed)
+        if cfg.pose_graph.init_noise_xyz > 0 and init_poses is None
+        else None
+    )
+    frames_geo = [f._replace(geo=g) for f, g in zip(frames, geo_list)]
+    prob = build_ba_problem(frames_geo, kps_pairs, pair_ids, ba_cfg, cfg.pose_graph, noise_key)
+    if init_poses is not None:
+        prob = prob._replace(poses0=init_poses)
+    poses, lms, info = solve_full_ba(prob, ba_cfg, cfg.kp_noise)
+    jax.block_until_ready(poses.t)
+    timings["full_ba"] = timings.get("full_ba", 0.0) + time.perf_counter() - t0
+    return poses, info, int(np.asarray(prob.kp_valid).sum())
+
+
+def run_slam(
+    frames: List[Keyframe],
+    cfg: PipelineConfig = PipelineConfig(),
+    gt_rows_list: Optional[List[np.ndarray]] = None,
+    out_dir: Optional[str] = None,
+    run_eval2: bool = True,
+) -> SlamResult:
+    timings: Dict[str, float] = {}
+    t0 = time.perf_counter()
+
+    # --- pair gating (C9) ---
+    pair_ids = _overlap_pairs(frames, cfg.min_overlap)
+    timings["overlap_gate"] = time.perf_counter() - t0
+
+    # --- detection (C6/C7), once — keypoints do not depend on poses ---
+    use_anno = cfg.pose_graph.use_anno
+    feats = None
+    if not use_anno:
+        from .features import detect_features
+
+        t0 = time.perf_counter()
+        feats = [detect_features(f.norm, f.mask, cfg.detector) for f in frames]
+        for r in feats:
+            jax.block_until_ready(r.desc)
+        timings["detect"] = time.perf_counter() - t0
+
+    # --- iterated match -> assemble -> solve (re-matching only when detected) ---
+    geo_list = [f.geo for f in frames]
+    n_iters = 1 + (cfg.rematch_iters if not use_anno else 0)
+    init_poses = None
+    poses = info = None
+    lc_results: Dict[Tuple[int, int], LCResult] = {}
+    n_acc = 0
+    kps_pairs: Dict[Tuple[int, int], KpsPairs] = {}
+    for it in range(n_iters):
+        corres_rows = None
+        if not use_anno:
+            t0 = time.perf_counter()
+            matcher_cfg = cfg.matcher
+            if it > 0:
+                matcher_cfg = dataclasses.replace(
+                    matcher_cfg,
+                    geo_radius=cfg.rematch_geo_radius,
+                    dense=dataclasses.replace(
+                        matcher_cfg.dense, search_radius=cfg.rematch_geo_radius
+                    ),
+                )
+            corres_rows = _match_pairs(frames, feats, geo_list, pair_ids, cfg, matcher_cfg)
+            timings["matching"] = timings.get("matching", 0.0) + time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        kps_pairs, cap = _assemble_pairs(frames, corres_rows, pair_ids, cfg, use_anno)
+        timings["kps_pairs"] = timings.get("kps_pairs", 0.0) + time.perf_counter() - t0
+
+        if cfg.estimator == "full_ba":
+            poses, info, n_acc = _solve_full_ba(
+                frames, geo_list, kps_pairs, pair_ids, cfg, init_poses, it, timings
+            )
+            init_poses = poses
+        else:
+            poses, info, lc_results, n_acc = _solve_two_stage(
+                frames, geo_list, kps_pairs, pair_ids, cap, cfg, timings
+            )
+        if it + 1 < n_iters:
+            geo_list = _estimated_geo(frames, poses)
+
+    # --- evaluation (C18) — always against the original DR geo ---
+    offsets = np.cumsum([0] + [int(f.dr_poses.shape[0]) for f in frames])
+    frame_slices = [slice(int(offsets[k]), int(offsets[k + 1])) for k in range(len(frames))]
+    dr_rows = [np.asarray(f.dr_poses) for f in frames]
+
     t0 = time.perf_counter()
     eval1, eval2 = _evaluate_pairs(
         frames, kps_pairs, pair_ids, poses, frame_slices, offsets, cfg, run_eval2
@@ -321,7 +460,6 @@ def run_slam(
     timings["evaluation"] = time.perf_counter() - t0
 
     # --- trajectory dumps (C17) + reference text artifacts (SURVEY §5) ---
-    result_for_dumps = None
     if out_dir is not None:
         from .trajectory import save_poses_quat, save_poses_rpy
 
@@ -339,74 +477,6 @@ def run_slam(
         pair_ids=pair_ids,
         lc_results=lc_results,
         n_lc_accepted=n_acc,
-        eval1=eval1,
-        eval2=eval2,
-        ate_dr=ate_dr,
-        ate_est=ate_est,
-        solve_error0=float(info.error0),
-        solve_error=float(info.error),
-        timings=timings,
-    )
-    if out_dir is not None:
-        from .dumps import write_reference_dumps
-
-        write_reference_dumps(out_dir, result, kps_pairs)
-    return result
-
-
-def _run_full_ba(frames, cfg, kps_pairs, pair_ids, gt_rows_list, out_dir, run_eval2, timings):
-    """Joint bundle-adjustment estimation path (PipelineConfig.estimator="full_ba")."""
-    from .config import FullBAConfig
-    from .solvers.full_ba import build_ba_problem, solve_full_ba
-
-    t0 = time.perf_counter()
-    ba_cfg = FullBAConfig()
-    if not cfg.pose_graph.use_anno:
-        # detected matches carry outliers the joint solve would trust; gate by
-        # the DR geo-discrepancy budget (see FullBAConfig.max_geo_discrepancy)
-        ba_cfg = dataclasses.replace(ba_cfg, max_geo_discrepancy=4.0)
-    noise_key = (
-        jax.random.PRNGKey(cfg.pose_graph.seed)
-        if cfg.pose_graph.init_noise_xyz > 0
-        else None
-    )
-    prob = build_ba_problem(frames, kps_pairs, pair_ids, ba_cfg, cfg.pose_graph, noise_key)
-    poses, lms, info = solve_full_ba(prob, ba_cfg, cfg.kp_noise)
-    jax.block_until_ready(poses.t)
-    timings["full_ba"] = time.perf_counter() - t0
-
-    offsets = np.cumsum([0] + [int(f.dr_poses.shape[0]) for f in frames])
-    frame_slices = [slice(int(offsets[k]), int(offsets[k + 1])) for k in range(len(frames))]
-    dr_rows = [np.asarray(f.dr_poses) for f in frames]
-
-    t0 = time.perf_counter()
-    eval1, eval2 = _evaluate_pairs(
-        frames, kps_pairs, pair_ids, poses, frame_slices, offsets, cfg, run_eval2
-    )
-    ate_dr = ate_est = None
-    if gt_rows_list is not None:
-        gt_all = np.concatenate(gt_rows_list, axis=0)
-        dr_all = se3.from_rodrigues_xyz(jnp.asarray(np.concatenate(dr_rows), jnp.float32))
-        ate_dr = trajectory_ate(dr_all, gt_all)
-        ate_est = trajectory_ate(poses, gt_all)
-    timings["evaluation"] = time.perf_counter() - t0
-
-    if out_dir is not None:
-        from .trajectory import save_poses_quat, save_poses_rpy
-
-        dr_all = se3.from_rodrigues_xyz(jnp.asarray(np.concatenate(dr_rows), jnp.float32))
-        save_poses_rpy(f"{out_dir}/dr_poses_all.txt", dr_all)
-        save_poses_rpy(f"{out_dir}/est_poses_all.txt", poses)
-        if len(frames) == 2:
-            save_poses_quat(f"{out_dir}/dr_poses.txt", dr_all)
-            save_poses_quat(f"{out_dir}/est_poses.txt", poses)
-
-    result = SlamResult(
-        poses=poses,
-        frame_slices=frame_slices,
-        pair_ids=pair_ids,
-        lc_results={},
-        n_lc_accepted=int(np.asarray(prob.kp_valid).sum()),
         eval1=eval1,
         eval2=eval2,
         ate_dr=ate_dr,

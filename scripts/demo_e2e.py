@@ -22,6 +22,9 @@ parser.add_argument("--landmarks", type=int, default=50)
 parser.add_argument("--tpu", action="store_true", help="run on the real TPU (default: CPU)")
 parser.add_argument("--detected", action="store_true",
                     help="use the detected-correspondence path (USE_ANNO=0) instead of annotations")
+parser.add_argument("--auto", action="store_true",
+                    help="fully-automatic profile (dense world-correlation matching + "
+                         "full BA + drift-compensated re-matching; zero annotations)")
 parser.add_argument("--estimator", default="two_stage", choices=["two_stage", "full_ba"],
                     help="two_stage = reference-parity; full_ba = joint BA (beyond-reference)")
 parser.add_argument("--ties", type=int, default=0, help="number of crossing tie lines")
@@ -57,10 +60,15 @@ print(f"keyframes built ({time.perf_counter()-t0:.2f}s)")
 
 import dataclasses
 
-cfg = PipelineConfig(estimator=args.estimator)
-if args.ties:
+if args.auto:
+    from diasss_tpu.config import automatic_config
+
+    cfg = automatic_config()
+else:
+    cfg = PipelineConfig(estimator=args.estimator)
+if args.ties and not args.auto:
     cfg = dataclasses.replace(cfg, min_overlap=0.1)
-if args.detected:
+if args.detected and not args.auto:
     cfg = dataclasses.replace(
         cfg,
         detector=DetectorConfig(n_features=800, desc_size_scale=8.0 / 31.0),

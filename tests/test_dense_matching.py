@@ -1,0 +1,157 @@
+"""Dense world-correlation matcher (matching/dense.py) + the automatic profile.
+
+The dense matcher is the beyond-reference correspondence search: source
+keypoint geo-patches slid over the target frame's world raster (NCC), verified
+by local displacement-field consistency.  Yield must not depend on cross-pass
+detector repeatability, and precision (checked against ground-truth geo
+projections) must stay near 1 — the property that lets the automatic full-BA
+trust detected matches.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diasss_tpu.config import DenseMatchConfig, DetectorConfig, automatic_config
+from diasss_tpu.features import detect_features
+from diasss_tpu.frame import build_keyframe
+from diasss_tpu.geometry import sonar
+from diasss_tpu.matching.dense import dense_matching, world_raster
+from diasss_tpu.synthetic import make_survey
+
+
+@pytest.fixture(scope="module")
+def drifting_survey():
+    survey = make_survey(
+        n_lines=2, n_pings=700, n_bins=512, n_landmarks=200,
+        n_tie_lines=1, seed=5, drift_xy=0.006,
+    )
+    frames = [
+        build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+        for l in survey.lines
+    ]
+    return survey, frames
+
+
+def _gt_geo(survey, n_bins=512):
+    return [
+        sonar.geo_image(
+            jnp.asarray(l.gt_poses[:, 3:5], jnp.float32),
+            jnp.asarray(l.gt_poses[:, 2], jnp.float32),
+            jnp.asarray(l.ground_ranges, jnp.float32),
+            n_bins,
+        )
+        for l in survey.lines
+    ]
+
+
+class TestDenseMatching:
+    def test_yield_and_precision(self, drifting_survey):
+        """Parallel opposite-heading pair: high yield, ~100% precision."""
+        survey, frames = drifting_survey
+        dcfg = DetectorConfig(descriptor="geo_patch", n_features=1200)
+        feats = [detect_features(f.norm, f.mask, dcfg) for f in frames]
+        cfg = DenseMatchConfig(search_radius=10.0)
+        rows_s, rows_t, n = dense_matching(
+            0, 1, feats[0], frames[0].norm, frames[0].geo,
+            frames[1].norm, frames[1].geo, dcfg, cfg,
+        )
+        assert n >= 10, n
+        gt_geo = _gt_geo(survey)
+        good = 0
+        for row in rows_s:
+            g1 = np.asarray(gt_geo[0][int(row[2]), int(row[3])])
+            g2 = np.asarray(gt_geo[1][int(row[4]), int(row[5])])
+            good += np.linalg.norm(g1 - g2) < 3.0
+        # >= 0.8: a coherent wrong cluster can pass the local smoothness filter
+        # (it is self-consistent); the BA's geo-discrepancy gate + Huber IRLS
+        # absorb that downstream (see TestAutomaticPipeline)
+        assert good / n >= 0.8, (good, n)
+        # mirrored rows swap the frames
+        assert np.allclose(rows_t[:, 2:4], rows_s[:, 4:6])
+        assert np.allclose(rows_t[:, 4:6], rows_s[:, 2:4])
+
+    def test_crossing_pair(self, drifting_survey):
+        """Perpendicular tie-line pair — impossible for image-space SIFT
+        matching (rotation between views), natural for world-aligned NCC."""
+        survey, frames = drifting_survey
+        dcfg = DetectorConfig(descriptor="geo_patch", n_features=1200)
+        feats = [detect_features(f.norm, f.mask, dcfg) for f in frames]
+        cfg = DenseMatchConfig(search_radius=10.0)
+        rows_s, _, n = dense_matching(
+            0, 2, feats[0], frames[0].norm, frames[0].geo,
+            frames[2].norm, frames[2].geo, dcfg, cfg,
+        )
+        assert n >= 3, n
+        gt_geo = _gt_geo(survey)
+        good = 0
+        for row in rows_s:
+            g1 = np.asarray(gt_geo[0][int(row[2]), int(row[3])])
+            g2 = np.asarray(gt_geo[2][int(row[4]), int(row[5])])
+            good += np.linalg.norm(g1 - g2) < 3.0
+        assert good / n >= 0.8, (good, n)
+
+    def test_world_raster_roundtrip(self, drifting_survey):
+        """Raster provenance maps world cells back to waterfall coordinates."""
+        _, frames = drifting_survey
+        r = world_raster(frames[0].norm, frames[0].geo, 0.5)
+        cnt = np.asarray(r.cnt)
+        assert cnt.max() >= 1
+        # a filled cell's (ping, col) must geo-project back into that cell
+        yy, xx = np.nonzero(cnt > 0)
+        k = len(yy) // 2
+        ping = int(round(float(r.ping[yy[k], xx[k]])))
+        col = int(round(float(r.col[yy[k], xx[k]])))
+        g = np.asarray(frames[0].geo[ping, col])
+        assert abs(g[0] - (r.x0 + xx[k] * r.res)) < 3 * r.res
+        assert abs(g[1] - (r.y0 + yy[k] * r.res)) < 3 * r.res
+
+
+class TestAutomaticPipeline:
+    def test_automatic_profile_improves_ate(self, drifting_survey):
+        """The fully-automatic profile (zero annotations) must substantially
+        beat dead reckoning on a drifting survey with a tie line."""
+        from diasss_tpu.pipeline import run_slam
+
+        survey, frames = drifting_survey
+        cfg = automatic_config(drift_budget=6.0)
+        cfg = dataclasses.replace(
+            cfg,
+            detector=dataclasses.replace(
+                cfg.detector, n_features=1200
+            ),
+            rematch_iters=1,
+        )
+        res = run_slam(
+            frames, cfg,
+            gt_rows_list=[l.gt_poses for l in survey.lines],
+            run_eval2=False,
+        )
+        assert res.n_lc_accepted >= 10
+        assert res.ate_est < 0.6 * res.ate_dr, (res.ate_dr, res.ate_est)
+
+
+class TestGeoPatchDescriptors:
+    def test_heading_invariance(self, drifting_survey):
+        """The same world point seen from two opposite-heading passes must
+        produce strongly correlated geo-patch descriptors (the property
+        image-space descriptors lack on sonar geometry)."""
+        from diasss_tpu.features.geopatch import geo_patch_descriptors
+
+        survey, frames = drifting_survey
+        gt_geo = _gt_geo(survey)
+        # pick a world point imaged by both line 0 and line 1 using annotations
+        annos = survey.lines[0].annos
+        rows = annos[annos[:, 1] == 1]
+        assert len(rows) > 0
+        ping_s, bin_s, ping_t, bin_t = rows[0, 2:6].astype(int)
+        xy_s = jnp.asarray([[bin_s, ping_s]], jnp.float32)
+        xy_t = jnp.asarray([[bin_t, ping_t]], jnp.float32)
+        # compute patches against GROUND TRUTH geo (no drift offset)
+        d_s, ok_s = geo_patch_descriptors(frames[0].norm, gt_geo[0], xy_s)
+        d_t, ok_t = geo_patch_descriptors(frames[1].norm, gt_geo[1], xy_t)
+        assert bool(ok_s[0]) and bool(ok_t[0])
+        ncc = float(jnp.dot(d_s[0], d_t[0]))
+        assert ncc > 0.3, ncc

@@ -79,3 +79,49 @@ class TestShardedPoseGraph:
         np.testing.assert_allclose(
             np.asarray(poses_sh.t), np.asarray(poses_ref.t), atol=1e-3
         )
+
+
+class TestRingMatching:
+    """Ring-pass correspondence search (parallel/ring.py): identical decisions
+    to the single-device geo-gated NN search, reference blocks rotated around
+    the mesh with ppermute."""
+
+    def _inputs(self, metric, seed=7):
+        rng = np.random.default_rng(seed)
+        Kq, Kr, D = 256, 320, 128
+        geo_q = rng.uniform(0, 50, (Kq, 2)).astype(np.float32)
+        geo_r = rng.uniform(0, 50, (Kr, 2)).astype(np.float32)
+        desc_q = (rng.normal(0, 1, (Kq, D)) * 60).astype(np.float32)
+        desc_r = (rng.normal(0, 1, (Kr, D)) * 60).astype(np.float32)
+        if metric == "ncc":
+            desc_q /= np.linalg.norm(desc_q, axis=1, keepdims=True)
+            desc_r /= np.linalg.norm(desc_r, axis=1, keepdims=True)
+        ri = rng.choice(Kr, 60, replace=False)
+        qi = rng.choice(Kq, 60, replace=False)
+        desc_q[qi] = desc_r[ri] + (0.0 if metric == "ncc" else 1.0)
+        geo_q[qi] = geo_r[ri] + 0.5
+        vq = rng.uniform(size=Kq) > 0.1
+        vr = rng.uniform(size=Kr) > 0.1
+        bbox = np.asarray([0.0, 50.0, 0.0, 50.0], np.float32)
+        return tuple(jnp.asarray(a) for a in (geo_q, desc_q, vq, geo_r, desc_r, vr, bbox))
+
+    @pytest.mark.parametrize("metric,cfg_kw", [
+        ("l2", dict(ratio_test=0.9)),
+        ("ncc", dict(desc_metric="ncc", ncc_min=0.5)),
+    ])
+    def test_matches_unsharded(self, metric, cfg_kw):
+        from jax.sharding import Mesh
+
+        from diasss_tpu.config import MatcherConfig
+        from diasss_tpu.matching.geosearch import geo_nn_search
+        from diasss_tpu.parallel.ring import ring_geo_nn_search
+
+        assert len(jax.devices()) >= 8
+        args = self._inputs(metric)
+        cfg = MatcherConfig(**cfg_kw)
+        ref = geo_nn_search(*args, cfg, False)
+        mesh = Mesh(jax.devices()[:8], ("ring",))
+        out = ring_geo_nn_search(*args, cfg, False, mesh)
+        assert (np.asarray(ref.corres) == np.asarray(out.corres)).all()
+        assert (np.asarray(ref.n_candidates) == np.asarray(out.n_candidates)).all()
+        assert (np.asarray(ref.corres) >= 0).sum() > 10  # non-trivial problem

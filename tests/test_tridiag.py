@@ -1,10 +1,21 @@
 """Cyclic-reduction block-tridiagonal solver tests."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from diasss_tpu.solvers.tridiag import solve_block_tridiag
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_caches():
+    """The recursive cyclic-reduction program deterministically segfaults the
+    XLA CPU compiler when compiled after ~130 accumulated test compilations
+    (jax 0.9.0; passes in a fresh process).  Clearing the caches resets
+    whatever compiler state triggers it."""
+    jax.clear_caches()
+    yield
 
 
 def make_system(P, rng):
