@@ -76,6 +76,63 @@ def sharded_lc_solve(
     )
 
 
+def sharded_full_ba_solve(mesh: Mesh, prob, ba_cfg=None, kp_cfg: KeypointNoiseConfig = KeypointNoiseConfig()):
+    """Joint bundle adjustment (solvers/full_ba.py) sharded over the mesh.
+
+    The dominant axis is the correspondence batch K (one landmark per
+    correspondence): every per-landmark quantity — the sss-factor Jacobian
+    batches, the 3x3 landmark Hessian blocks and their Cholesky factors, the
+    Schur cross terms H_pl — is K-leading and therefore embarrassingly
+    data-parallel.  Sharding K makes each LM trial's linearization and each CG
+    matvec a local contraction followed by an XLA-inserted psum of the
+    segment-sum scatters into the (replicated) P-sized pose system.  The pose
+    chain itself (odometry factors, PCG state, tridiag preconditioner) stays
+    replicated — it is O(P) small next to O(K) and serial-ish anyway.
+
+    ``prob`` is a BAProblem (build_ba_problem already pads K to a power of two,
+    so any power-of-two mesh divides it; we re-pad defensively otherwise).
+    """
+    from ..config import FullBAConfig
+    from ..solvers.full_ba import solve_full_ba
+
+    ba_cfg = ba_cfg or FullBAConfig()
+    n_dev = mesh.devices.size
+    K = prob.kp_i.shape[0]
+    pad = (-K) % n_dev
+    if pad:
+        zpad = lambda a, fill: jnp.concatenate(
+            [a, jnp.full((pad, *a.shape[1:]), fill, a.dtype)]
+        )
+        prob = prob._replace(
+            kp_i=zpad(prob.kp_i, 0),
+            kp_j=zpad(prob.kp_j, 0),
+            kp_sr_s=zpad(prob.kp_sr_s, 1.0),
+            kp_sr_t=zpad(prob.kp_sr_t, 1.0),
+            kp_valid=zpad(prob.kp_valid, False),
+            lm0=zpad(prob.lm0, 0.0),
+            lm_prior=zpad(prob.lm_prior, 0.0),
+        )
+    kp_sharded = _shard_leading(
+        mesh,
+        (prob.kp_i, prob.kp_j, prob.kp_sr_s, prob.kp_sr_t, prob.kp_valid, prob.lm0, prob.lm_prior),
+    )
+    rep = NamedSharding(mesh, P())
+    prob = prob._replace(
+        poses0=jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), prob.poses0),
+        odo_meas=jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), prob.odo_meas),
+        odo_sigmas=jax.device_put(prob.odo_sigmas, rep),
+        kp_i=kp_sharded[0],
+        kp_j=kp_sharded[1],
+        kp_sr_s=kp_sharded[2],
+        kp_sr_t=kp_sharded[3],
+        kp_valid=kp_sharded[4],
+        lm0=kp_sharded[5],
+        lm_prior=kp_sharded[6],
+        lm_prior_sigmas=jax.device_put(prob.lm_prior_sigmas, rep),
+    )
+    return solve_full_ba(prob, ba_cfg, kp_cfg)
+
+
 def sharded_pose_graph_solve(mesh: Mesh, graph, cfg: PoseGraphConfig = PoseGraphConfig()):
     """Pose-graph LM with loop-closure factor arrays sharded over the mesh.
 

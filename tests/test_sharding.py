@@ -81,6 +81,44 @@ class TestShardedPoseGraph:
         )
 
 
+class TestShardedFullBA:
+    def test_matches_unsharded(self):
+        """Flagship estimator: correspondence axis sharded over 8 devices,
+        pose chain replicated — same solution as the single-device solve."""
+        from diasss_tpu.config import FullBAConfig, KeypointNoiseConfig, PipelineConfig
+        from diasss_tpu.frame import build_keyframe
+        from diasss_tpu.pairs import get_kps_pairs
+        from diasss_tpu.parallel.shard import sharded_full_ba_solve
+        from diasss_tpu.pipeline import _overlap_pairs
+        from diasss_tpu.solvers.full_ba import build_ba_problem, solve_full_ba
+        from diasss_tpu.synthetic import make_survey
+
+        assert len(jax.devices()) >= 8
+        survey = make_survey(n_lines=2, n_pings=120, n_bins=256, n_landmarks=40,
+                             n_tie_lines=1, seed=3)
+        frames = [
+            build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+            for l in survey.lines
+        ]
+        pair_ids = _overlap_pairs(frames, 0.1)
+        kps = {
+            k: get_kps_pairs(
+                frames[k[0]].annos, frames[k[1]].img_id,
+                np.asarray(frames[k[0]].altitudes), np.asarray(frames[k[0]].ground_ranges),
+                np.asarray(frames[k[1]].altitudes), np.asarray(frames[k[1]].ground_ranges),
+                use_anno=True,
+            )
+            for k in pair_ids
+        }
+        ba = FullBAConfig(max_iters=12)
+        kp_cfg = KeypointNoiseConfig()
+        prob = build_ba_problem(frames, kps, pair_ids, ba, PipelineConfig().pose_graph, None)
+        poses_ref, lms_ref, info_ref = solve_full_ba(prob, ba, kp_cfg)
+        poses_sh, lms_sh, info_sh = sharded_full_ba_solve(make_mesh(8), prob, ba, kp_cfg)
+        np.testing.assert_allclose(np.asarray(poses_sh.t), np.asarray(poses_ref.t), atol=1e-3)
+        np.testing.assert_allclose(float(info_sh.error), float(info_ref.error), rtol=1e-3)
+
+
 class TestRingMatching:
     """Ring-pass correspondence search (parallel/ring.py): identical decisions
     to the single-device geo-gated NN search, reference blocks rotated around
