@@ -174,7 +174,10 @@ def _correlate(
         )
         return jnp.where(cover_ok & inb & (nrm > 1e-3), s, -2.0)
 
-    scores = jax.lax.map(lambda o: score_at(o[0], o[1]), offs)  # (O, K)
+    # batched map: 16 offsets per step bounds the gather working set to
+    # ~16*K*G floats while keeping each device step wide (a bare lax.map would
+    # serialize all O(441) offsets into tiny dispatches)
+    scores = jax.lax.map(lambda o: score_at(o[0], o[1]), offs, batch_size=16)  # (O, K)
 
     best_o = jnp.argmax(scores, axis=0)  # (K,)
     best = jnp.take_along_axis(scores, best_o[None, :], axis=0)[0]
@@ -192,7 +195,8 @@ def _correlate(
         ddy, ddx = jnp.meshgrid(dg, dg, indexing="ij")
         deltas = jnp.stack([ddy.ravel(), ddx.ravel()], axis=1)  # (D, 2)
         fine = jax.lax.map(
-            lambda d: score_at(boff[:, 0] + d[0], boff[:, 1] + d[1]), deltas
+            lambda d: score_at(boff[:, 0] + d[0], boff[:, 1] + d[1]), deltas,
+            batch_size=min(16, deltas.shape[0]),
         )  # (D, K)
         fbest = jnp.argmax(fine, axis=0)
         best = jnp.take_along_axis(fine, fbest[None, :], axis=0)[0]

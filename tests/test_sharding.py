@@ -119,6 +119,44 @@ class TestShardedFullBA:
         np.testing.assert_allclose(float(info_sh.error), float(info_ref.error), rtol=1e-3)
 
 
+class TestDistributedHealth:
+    """Failure-detection / cross-device assertion utilities (SURVEY §5)."""
+
+    def test_heartbeat_counts_all_devices(self):
+        from diasss_tpu.parallel.distributed import heartbeat
+
+        mesh = make_mesh(8)
+        assert heartbeat(mesh) == 8
+
+    def test_replica_divergence_zero_for_replicated_solve_state(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from diasss_tpu.parallel.distributed import replica_divergence
+
+        mesh = make_mesh(8)
+        x = jnp.arange(24, dtype=jnp.float32).reshape(4, 6)
+        rep = jax.device_put(x, NamedSharding(mesh, P()))
+        assert replica_divergence({"poses": rep}) == 0.0
+
+    def test_replica_divergence_detects_mismatch(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from diasss_tpu.parallel.distributed import replica_divergence
+
+        mesh = make_mesh(8)
+        x = jnp.ones((8,), jnp.float32)
+        rep = jax.device_put(x, NamedSharding(mesh, P()))
+        # corrupt one device's buffer via single-device arrays re-assembled
+        # into a "replicated" array with divergent contents
+        bufs = [jax.device_put(x + (0.5 if i == 3 else 0.0), d)
+                for i, d in enumerate(mesh.devices.flat)]
+        bad = jax.make_array_from_single_device_arrays(
+            x.shape, NamedSharding(mesh, P()), bufs
+        )
+        assert replica_divergence(bad) >= 0.5
+        assert replica_divergence(rep) == 0.0
+
+
 class TestRingMatching:
     """Ring-pass correspondence search (parallel/ring.py): identical decisions
     to the single-device geo-gated NN search, reference blocks rotated around
