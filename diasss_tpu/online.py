@@ -7,17 +7,30 @@ arrive one at a time, and after each arrival the full graph is re-solved
 **warm-started** from the previous estimate — the LM typically needs only a few
 iterations because only the new frame's poses are far from the optimum.
 
+Supports every pipeline configuration:
+
+* annotation-driven or detected correspondences (``PoseGraphConfig.use_anno``):
+  with detection on, each arriving frame is detected once and matched against
+  every gated earlier frame (keypoint or dense world-correlation matching per
+  ``MatcherConfig.mode``) — accumulated matches feed all later solves;
+* two-stage (reference-parity) or full-BA estimation
+  (``PipelineConfig.estimator``) — so ``OnlineSlam(automatic_config())`` is
+  streaming ZERO-annotation SLAM, beyond the reference's capability.
+
 Static-shape strategy: pose capacity is pre-allocated per frame count; each
 ``add_frame`` re-runs the jitted solver at the new (P, K) shape.  For surveys
 with equal-length lines every step reuses one compiled program per frame count
 (shapes grow deterministically), and warm starting cuts LM iterations ~3-10x
-versus cold solves.
+versus cold solves.  (``PipelineConfig.rematch_iters`` is a batch-mode knob;
+online, drift compensation happens naturally because each new frame is matched
+against geo already implied by DR — re-matching *past* pairs against estimated
+geo is available by re-running the batch pipeline over the collected frames.)
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +40,7 @@ from .config import PipelineConfig
 from .frame import Keyframe
 from .geometry import se3
 from .pairs import get_kps_pairs
-from .pipeline import _overlap_pairs
+from .pipeline import _assemble_pairs, _match_pairs, _overlap_pairs
 from .solvers.lc import loop_closing_tfs
 from .solvers.pose_graph import build_chain_graph, solve_pose_graph
 
@@ -53,39 +66,96 @@ class OnlineSlam:
     def __init__(self, cfg: PipelineConfig = PipelineConfig()):
         self.cfg = cfg
         self.state = OnlineState(frames=[], poses=None, frame_slices=[], n_lc=0)
+        self._feats: List = []  # detected features per frame (use_anno=False)
+        # frame idx -> [(ref_img_id, corres rows)], the _match_pairs layout
+        self._corres_rows: Dict[int, list] = {}
+        self._accepted: List[tuple] = []  # two-stage accepted LC factors
 
     def add_frame(self, frame: Keyframe) -> se3.Pose3:
         cfg = self.cfg
         st = self.state
         st.frames.append(frame)
+        new_idx = len(st.frames) - 1
         offsets = np.cumsum([0] + [int(f.dr_poses.shape[0]) for f in st.frames])
         st.frame_slices = [
             slice(int(offsets[k]), int(offsets[k + 1])) for k in range(len(st.frames))
         ]
+        use_anno = cfg.pose_graph.use_anno
 
-        # pairs involving any frame (the LC mini-solves are cheap enough to
-        # recompute only for pairs that involve the NEW frame)
+        # pairs involving any frame; matching/LC are only recomputed for pairs
+        # that involve the NEW frame (earlier pairs' results are accumulated)
         pair_ids = _overlap_pairs(st.frames, cfg.min_overlap)
-        new_idx = len(st.frames) - 1
         new_pairs = [p for p in pair_ids if new_idx in p]
 
-        lc_i: List[int] = []
-        lc_j: List[int] = []
-        lc_R: List[np.ndarray] = []
-        lc_t: List[np.ndarray] = []
-        lc_sig: List[np.ndarray] = []
-        if not hasattr(self, "_accepted"):
-            self._accepted = []  # [(gid_s, gid_t, R, t, sig)]  — grows per frame
+        # --- detection + matching for the new frame (detected path) ---
+        self._corres_rows.setdefault(new_idx, [])
+        if not use_anno:
+            from .features import detect_features
+
+            self._feats.append(detect_features(frame.norm, frame.mask, cfg.detector))
+            if new_pairs:
+                geo_list = [f.geo for f in st.frames]
+                fresh = _match_pairs(
+                    st.frames, self._feats, geo_list, new_pairs, cfg, cfg.matcher
+                )
+                for i, lst in fresh.items():
+                    if lst:
+                        self._corres_rows.setdefault(i, []).extend(lst)
+
+        if cfg.estimator == "full_ba":
+            return self._solve_full_ba(pair_ids)
+        return self._solve_two_stage(pair_ids, new_pairs, offsets)
+
+    # --- full-BA estimation: rebuild the joint problem, warm-start poses ---
+    def _solve_full_ba(self, pair_ids) -> se3.Pose3:
+        from .solvers.full_ba import build_ba_problem, solve_full_ba
+
+        cfg = self.cfg
+        st = self.state
+        use_anno = cfg.pose_graph.use_anno
+        kps_pairs, _ = _assemble_pairs(
+            st.frames, self._corres_rows, pair_ids, cfg, use_anno
+        )
+        ba_cfg = cfg.full_ba
+        if not use_anno and ba_cfg.max_geo_discrepancy == 0:
+            # detected matches carry outliers (same gate as the batch pipeline)
+            ba_cfg = dataclasses.replace(ba_cfg, max_geo_discrepancy=4.0)
+        prob = build_ba_problem(st.frames, kps_pairs, pair_ids, ba_cfg, cfg.pose_graph, None)
+        if st.poses is not None:
+            prev_P = st.poses.t.shape[0]
+            R0 = prob.poses0.R.at[:prev_P].set(st.poses.R)
+            t0 = prob.poses0.t.at[:prev_P].set(st.poses.t)
+            prob = prob._replace(poses0=se3.Pose3(R0, t0))
+        poses, _, info = solve_full_ba(prob, ba_cfg, cfg.kp_noise)
+        st.poses = poses
+        st.n_lc = int(np.asarray(prob.kp_valid).sum())
+        self._last_info = info
+        return poses
+
+    # --- two-stage estimation: LC mini-solves for new pairs + pose graph ---
+    def _solve_two_stage(self, pair_ids, new_pairs, offsets) -> se3.Pose3:
+        cfg = self.cfg
+        st = self.state
+        use_anno = cfg.pose_graph.use_anno
 
         for (i, j) in new_pairs:
+            if use_anno:
+                rows = st.frames[i].annos
+            else:
+                mine = [
+                    r
+                    for (ref_id, r) in self._corres_rows.get(i, [])
+                    if ref_id == st.frames[j].img_id
+                ]
+                rows = np.concatenate(mine, axis=0) if mine else np.zeros((0, 6))
             kp = get_kps_pairs(
-                st.frames[i].annos,
+                rows,
                 st.frames[j].img_id,
                 np.asarray(st.frames[i].altitudes),
                 np.asarray(st.frames[i].ground_ranges),
                 np.asarray(st.frames[j].altitudes),
                 np.asarray(st.frames[j].ground_ranges),
-                use_anno=cfg.pose_graph.use_anno,
+                use_anno=use_anno,
                 nadir_threshold=cfg.loop_closure.nadir_threshold,
             )
             if not kp.valid.any():

@@ -44,6 +44,39 @@ def test_online_matches_batch_fixed_point():
 
 
 @pytest.mark.slow
+def test_online_fully_automatic():
+    """Streaming ZERO-annotation SLAM: detection + dense matching + warm-started
+    full BA per arriving frame (OnlineSlam(automatic_config()))."""
+    import dataclasses
+
+    from diasss_tpu.config import automatic_config
+
+    survey = make_survey(
+        n_lines=2, n_pings=200, n_bins=256, n_landmarks=150, n_tie_lines=1,
+        seed=11, drift_xy=0.004,
+    )
+    frames = [
+        build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+        for l in survey.lines
+    ]
+    cfg = automatic_config()
+    online = OnlineSlam(cfg)
+    for i, f in enumerate(frames):
+        poses = online.add_frame(f)
+        assert np.all(np.isfinite(np.asarray(poses.t)))
+        assert poses.t.shape[0] == sum(len(x.dr_poses) for x in survey.lines[: i + 1])
+    gt_all = np.concatenate([l.gt_poses for l in survey.lines])
+    ate_online = trajectory_ate(poses, gt_all)
+    dr_all = np.concatenate([l.dr_poses for l in survey.lines])
+    from diasss_tpu.geometry import se3 as _se3
+    import jax.numpy as jnp
+
+    ate_dr = trajectory_ate(_se3.from_rodrigues_xyz(jnp.asarray(dr_all, jnp.float32)), gt_all)
+    assert online.state.n_lc > 20, online.state.n_lc
+    assert ate_online < ate_dr, (ate_online, ate_dr)
+
+
+@pytest.mark.slow
 def test_online_estimates_available_every_step():
     survey = make_survey(n_lines=2, n_pings=120, n_bins=512, n_landmarks=30, seed=9)
     frames = [
