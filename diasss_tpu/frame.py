@@ -64,6 +64,14 @@ def filtered_mask(raw: jnp.ndarray, cfg: MaskConfig = MaskConfig()) -> jnp.ndarr
       2. the center nadir stripe (cols within +-width of M/2),
       3. the first/last ``side`` pings,
       4. the left/right ``side*0.6`` columns.
+
+    Deviation from the reference: the border suppressions (rules 3-4) are
+    clamped to at most a quarter of the image per side.  The reference's fixed
+    150-ping / 90-col margins are tuned for its ~5k-ping survey lines
+    (frame.cpp:86) and are unchanged at that scale, but applied verbatim to a
+    short line they mask EVERY pixel (e.g. 2*150 >= a 200-ping image), leaving
+    the detected-feature path with zero keypoints — a degenerate case the
+    reference never hits, guarded here.
     """
     raw = raw.astype(jnp.float32)
     n, m = raw.shape
@@ -80,8 +88,9 @@ def filtered_mask(raw: jnp.ndarray, cfg: MaskConfig = MaskConfig()) -> jnp.ndarr
     rows = jnp.arange(n)[:, None]
     cols = jnp.arange(m)[None, :]
     center = (cols > m // 2 - cfg.center_width) & (cols < m // 2 + cfg.center_width)
-    turn = (rows < cfg.side_pings) | (rows > n - cfg.side_pings)
-    side_c = int(cfg.side_pings * cfg.side_cols_frac)
+    side_p = min(cfg.side_pings, n // 4)
+    turn = (rows < side_p) | (rows > n - side_p)
+    side_c = min(int(cfg.side_pings * cfg.side_cols_frac), m // 4)
     sides = (cols < side_c) | (cols > m - side_c)
     return ~(dilated | center | turn | sides)
 

@@ -59,7 +59,9 @@ def test_online_fully_automatic():
         build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
         for l in survey.lines
     ]
-    cfg = automatic_config()
+    # no re-matching so streaming and batch accumulate the identical
+    # correspondence set and must reach the same full-BA fixed point
+    cfg = dataclasses.replace(automatic_config(), rematch_iters=0)
     online = OnlineSlam(cfg)
     for i, f in enumerate(frames):
         poses = online.add_frame(f)
@@ -74,6 +76,13 @@ def test_online_fully_automatic():
     ate_dr = trajectory_ate(_se3.from_rodrigues_xyz(jnp.asarray(dr_all, jnp.float32)), gt_all)
     assert online.state.n_lc > 20, online.state.n_lc
     assert ate_online < ate_dr, (ate_online, ate_dr)
+
+    # streaming final estimate ~ batch --auto estimate on the same survey
+    batch = run_slam(frames, cfg, gt_rows_list=[l.gt_poses for l in survey.lines],
+                     run_eval2=False)
+    assert abs(ate_online - batch.ate_est) < 0.1 * max(ate_dr, 1.0), (
+        ate_online, batch.ate_est,
+    )
 
 
 @pytest.mark.slow
