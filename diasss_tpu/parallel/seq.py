@@ -1,0 +1,821 @@
+"""Sequence-parallel (SP) solvers: the pose chain block-partitioned over devices.
+
+This is the engine's long-context scaling axis (SURVEY §5): the reference
+streams every ping serially through iSAM2 (optimizer.cpp:146-276), so its
+memory and time grow with total pings on one CPU.  Here the concatenated ping
+chain is cut into ``n_devices`` contiguous blocks; each device owns
+
+* its pose block ``(B, 6)`` (B = ceil(P/n)),
+* the odometry factors whose SOURCE pose it owns (factor k couples poses
+  ``k -> k+1``), and
+* a shard of the correspondence/landmark axis (full BA).
+
+Per-device memory for every O(P)-heavy tensor — poses, odometry Jacobian
+batches ``(B, 6, 6)``, Hessian block-diagonals, PCG/tridiag state — is
+``O(P/n)``.  Communication per CG matvec:
+
+* **halo exchange**: each chain factor at a block boundary needs the FIRST
+  pose of the next block — one ``ppermute`` of a single 6-vector (and one
+  reverse ``ppermute`` to send the boundary factor's gradient/matvec
+  contribution back).  This is the blockwise Schur/halo pattern of SURVEY §5.
+* **loop closures** (pose graph): LC endpoints are gathered with an L-sized
+  masked ``psum`` (L = #loop closures, tiny) — every device then evaluates the
+  identical L-sized LC algebra and keeps only the rows it owns.  No O(P)
+  buffer anywhere.
+* **correspondences** (full BA): the K-sized sonar-factor shard gathers pose
+  entries via ``all_gather`` of the (P, 6) CG direction (24 B/pose — the ONLY
+  O(P) transient; Jacobians stay sharded) and scatters pose contributions back
+  with ``psum_scatter`` over an ``(n, B, 6)`` buffer, so the reduction rides
+  ICI once instead of replicating the pose system.
+
+The preconditioner is the segment-parallel block-tridiagonal chain solve
+(:mod:`..solvers.tridiag`) applied per block — device boundaries act as
+segment cuts, which is exactly the approximation ``tridiag_segment`` already
+makes on one device, so single-device and SP solves agree to solver tolerance
+(equivalence-tested on the 8-device CPU mesh, tests/test_seq_parallel.py).
+
+Everything below runs INSIDE one ``shard_map``-wrapped LM loop: scalar state
+(error, lambda) is computed from psum-reduced quantities and therefore stays
+bit-identical across devices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map as _jax_shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _jax_shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=check_rep
+        )
+
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..config import FullBAConfig, KeypointNoiseConfig, PoseGraphConfig
+from ..geometry import se3
+from ..solvers.pose_graph import PoseGraph, SolveInfo, _linearize_between
+from ..solvers.full_ba import BAProblem, BAInfo, _sss_factor_terms, _huber_weight, _huber_rho
+from ..factors.between import between_residual
+from ..factors.sss_point import kp_noise_sigmas
+
+_HI = lax.Precision.HIGHEST
+
+
+def _tree_concat(a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.concatenate([x, y]), a, b)
+
+
+def _pad_chain(graph: PoseGraph, n: int):
+    """Pad poses to n*B with identity poses and the odometry factor array to
+    one entry per pose (factor k couples k -> k+1; entries >= P-1 invalid)."""
+    P_real = int(graph.poses0.t.shape[0])
+    B = -(-P_real // n)
+    P_pad = n * B
+    pp = P_pad - P_real
+    poses0 = graph.poses0
+    if pp:
+        poses0 = _tree_concat(poses0, se3.identity((pp,), poses0.t.dtype))
+    # odo_meas has P_real-1 entries; pad to P_pad (dummy identity measurements)
+    pf = P_pad - (P_real - 1)
+    odo_meas = _tree_concat(graph.odo_meas, se3.identity((pf,), poses0.t.dtype))
+    return poses0, odo_meas, B, P_pad, P_real
+
+
+def _pcg_dist(matvec, b, precond, tol, max_iters, dot):
+    """PCG with a caller-supplied (psum-reducing) inner product."""
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+    bnorm = jnp.sqrt(dot(b, b))
+    thresh = tol * jnp.maximum(bnorm, 1e-30)
+
+    def cond(state):
+        _, r, _, _, k = state
+        return (jnp.sqrt(dot(r, r)) > thresh) & (k < max_iters)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return x, r, p, rz_new, k + 1
+
+    x, r, _, _, k = lax.while_loop(cond, body, (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32)))
+    return x, k
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "cfg", "axis", "B", "P_real")
+)
+def _seq_pg_run(poses0, odo_meas, lc_i, lc_j, lc_meas, lc_sigmas, lc_valid,
+                odo_sigmas, mesh: Mesh, cfg: PoseGraphConfig, axis: str,
+                B: int, P_real: int):
+    n = mesh.devices.size
+    deg_pairs = None  # silence linters
+
+    perm_from_next = [((i + 1) % n, i) for i in range(n)]  # recv block d+1's row
+    perm_to_next = [(i, (i + 1) % n) for i in range(n)]    # send boundary term fwd
+
+    def solve_blk(poses0_blk, odo_blk, lc_i, lc_j, lc_meas, lc_sigmas, lc_valid,
+                  odo_sigmas):
+        d = lax.axis_index(axis)
+        gidx = d * B + jnp.arange(B)
+        is_pad = gidx >= P_real
+        # rows held fixed: the gauge (global pose 0) and padding
+        fix_rows = (gidx == 0) | is_pad
+        odo_valid = gidx < P_real - 1  # factor k couples k -> k+1
+        dtype = poses0_blk.t.dtype
+        eyeB = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (B, 6, 6))
+
+        L = lc_i.shape[0]
+        lc_owner_i = lc_i // B
+        lc_owner_j = lc_j // B
+        lc_loc_i = lc_i % B
+        lc_loc_j = lc_j % B
+
+        def halo_next(x_first):
+            return lax.ppermute(x_first, axis, perm_from_next)
+
+        def shifted(tree_blk):
+            """Per-factor second operand: pose k+1 (local rows 1.. plus the
+            halo row — the next block's first pose)."""
+            halo = jax.tree_util.tree_map(
+                lambda x: halo_next(x[0:1]), tree_blk
+            )
+            return jax.tree_util.tree_map(
+                lambda a, h: jnp.concatenate([a[1:], h]), tree_blk, halo
+            )
+
+        def gather_lc(tree_blk, owner, loc):
+            """(L,)-sized gather of pose entries: masked local read + psum."""
+            mine = owner == d
+
+            def g(x):
+                v = x[loc]
+                m = mine.reshape(mine.shape + (1,) * (v.ndim - 1))
+                return lax.psum(jnp.where(m, v, jnp.zeros_like(v)), axis)
+
+            return jax.tree_util.tree_map(g, tree_blk)
+
+        def scatter_lc(vals, owner, loc):
+            """Keep only the rows this device owns; segment-sum into the block."""
+            mine = owner == d
+            lidx = jnp.where(mine, loc, B)  # row B = dump slot
+            return jax.ops.segment_sum(vals, lidx, B + 1)[:B]
+
+        def fix_vec(v):
+            return jnp.where(fix_rows[:, None], 0.0, v)
+
+        def chain_residuals(poses_blk):
+            xj = shifted(poses_blk)
+            r = jax.vmap(between_residual)(poses_blk, xj, odo_blk) / odo_sigmas
+            return jnp.where(odo_valid[:, None], r, 0.0)
+
+        def lc_residuals(poses_blk):
+            xi = gather_lc(poses_blk, lc_owner_i, lc_loc_i)
+            xj = gather_lc(poses_blk, lc_owner_j, lc_loc_j)
+            r = jax.vmap(between_residual)(xi, xj, lc_meas) / lc_sigmas
+            return jnp.where(lc_valid[:, None], r, 0.0)
+
+        def error(poses_blk):
+            r_o = chain_residuals(poses_blk)
+            r_l = lc_residuals(poses_blk)  # identical on every device
+            return 0.5 * (lax.psum(jnp.sum(r_o * r_o), axis) + jnp.sum(r_l * r_l))
+
+        err0 = error(poses0_blk)
+
+        def trial(carry, _):
+            poses_blk, err, lam = carry
+
+            # --- linearize the chain factors this device owns ---
+            xj = shifted(poses_blk)
+            sig_b = jnp.broadcast_to(odo_sigmas, (B, 6))
+            r_o, Ji, Jj = jax.vmap(_linearize_between)(poses_blk, xj, odo_blk, sig_b)
+            w = odo_valid[:, None].astype(dtype)
+            r_o = r_o * w
+            Ji = Ji * w[..., None]
+            Jj = Jj * w[..., None]
+
+            # --- linearize the LC factors (L-sized, evaluated identically
+            # everywhere after the psum gather) ---
+            xl_i = gather_lc(poses_blk, lc_owner_i, lc_loc_i)
+            xl_j = gather_lc(poses_blk, lc_owner_j, lc_loc_j)
+            r_l, Jli, Jlj = jax.vmap(_linearize_between)(xl_i, xl_j, lc_meas, lc_sigmas)
+            wl = lc_valid[:, None].astype(dtype)
+            r_l = r_l * wl
+            Jli = Jli * wl[..., None]
+            Jlj = Jlj * wl[..., None]
+
+            # --- gradient ---
+            g_blk = jnp.einsum("kab,ka->kb", Ji, r_o, precision=_HI)
+            c = jnp.einsum("kab,ka->kb", Jj, r_o, precision=_HI)
+            g_blk = g_blk.at[1:].add(c[:-1])
+            g_blk = g_blk.at[0:1].add(lax.ppermute(c[-1:], axis, perm_to_next))
+            g_blk = g_blk + scatter_lc(
+                jnp.einsum("lab,la->lb", Jli, r_l, precision=_HI), lc_owner_i, lc_loc_i
+            )
+            g_blk = g_blk + scatter_lc(
+                jnp.einsum("lab,la->lb", Jlj, r_l, precision=_HI), lc_owner_j, lc_loc_j
+            )
+            g_blk = fix_vec(g_blk)
+
+            # --- block-diagonal of H ---
+            Di = jnp.einsum("kab,kac->kbc", Ji, Ji, precision=_HI)
+            Dj = jnp.einsum("kab,kac->kbc", Jj, Jj, precision=_HI)
+            D = Di.at[1:].add(Dj[:-1])
+            D = D.at[0:1].add(lax.ppermute(Dj[-1:], axis, perm_to_next))
+            D = D + scatter_lc(
+                jnp.einsum("lab,lac->lbc", Jli, Jli, precision=_HI), lc_owner_i, lc_loc_i
+            )
+            D = D + scatter_lc(
+                jnp.einsum("lab,lac->lbc", Jlj, Jlj, precision=_HI), lc_owner_j, lc_loc_j
+            )
+            D = jnp.where(fix_rows[:, None, None], eyeB, D)
+            Dp = D * (1.0 + lam) + 1e-6 * jnp.eye(6, dtype=dtype)
+
+            # --- preconditioner: per-block chain solve (device boundaries act
+            # as tridiag segment cuts — same approximation as the single-device
+            # segmented solve with aligned segments) ---
+            precond_kind = cfg.preconditioner
+            if precond_kind == "auto":
+                precond_kind = "dense_seg" if jax.default_backend() == "tpu" else "tridiag"
+            if precond_kind in ("tridiag", "dense_seg"):
+                U_loc = jnp.einsum(
+                    "kab,kac->kbc", Ji[: B - 1], Jj[: B - 1], precision=_HI
+                )
+                cz = fix_rows[: B - 1] | fix_rows[1:]
+                U_loc = jnp.where(cz[:, None, None], 0.0, U_loc)
+                seg = min(cfg.tridiag_segment, B)
+                if precond_kind == "dense_seg":
+                    from ..solvers.tridiag import (
+                        apply_dense_segment_inverses,
+                        auto_dense_segment,
+                        dense_segment_inverses,
+                    )
+
+                    seg_d = min(auto_dense_segment(B, cfg.tridiag_segment), B)
+                    Minv = dense_segment_inverses(Dp, U_loc, seg_d)
+
+                    def precond(v):
+                        return apply_dense_segment_inverses(Minv, v)
+
+                else:
+                    from ..solvers.tridiag import solve_block_tridiag_segmented
+
+                    def precond(v):
+                        return solve_block_tridiag_segmented(Dp, U_loc, v, seg)
+
+            else:
+                Lp = jnp.linalg.cholesky(Dp)
+
+                def precond(v):
+                    return jax.scipy.linalg.cho_solve((Lp, True), v[..., None])[..., 0]
+
+            # --- distributed matvec: (H + lam D) v ---
+            def matvec(v):
+                v = fix_vec(v)
+                v_next = halo_next(v[0:1])
+                vj = jnp.concatenate([v[1:], v_next])
+                a = jnp.einsum("kab,kb->ka", Ji, v, precision=_HI) + jnp.einsum(
+                    "kab,kb->ka", Jj, vj, precision=_HI
+                )
+                out = jnp.einsum("kab,ka->kb", Ji, a, precision=_HI)
+                cb = jnp.einsum("kab,ka->kb", Jj, a, precision=_HI)
+                out = out.at[1:].add(cb[:-1])
+                out = out.at[0:1].add(lax.ppermute(cb[-1:], axis, perm_to_next))
+                # LC part (L-sized, identical on every device after the gathers)
+                vi = gather_lc(v, lc_owner_i, lc_loc_i)
+                vjl = gather_lc(v, lc_owner_j, lc_loc_j)
+                al = jnp.einsum("lab,lb->la", Jli, vi, precision=_HI) + jnp.einsum(
+                    "lab,lb->la", Jlj, vjl, precision=_HI
+                )
+                out = out + scatter_lc(
+                    jnp.einsum("lab,la->lb", Jli, al, precision=_HI), lc_owner_i, lc_loc_i
+                )
+                out = out + scatter_lc(
+                    jnp.einsum("lab,la->lb", Jlj, al, precision=_HI), lc_owner_j, lc_loc_j
+                )
+                out = out + lam * jnp.einsum("pab,pb->pa", D, v, precision=_HI)
+                return jnp.where(fix_rows[:, None], v, out)
+
+            def dot(a, b):
+                return lax.psum(jnp.sum(a * b), axis)
+
+            delta, cg_k = _pcg_dist(matvec, -g_blk, precond, cfg.cg_tol, cfg.cg_max_iters, dot)
+            delta = fix_vec(delta)
+            new_poses = se3.retract(poses_blk, delta)
+            new_poses = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    fix_rows.reshape((B,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                poses_blk,
+                new_poses,
+            )
+            new_err = error(new_poses)
+            good = jnp.isfinite(new_err) & (new_err < err)
+            poses_blk = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(good, b, a), poses_blk, new_poses
+            )
+            err = jnp.where(good, new_err, err)
+            lam = jnp.where(good, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 10.0, 1e6))
+            g_norm = jnp.sqrt(dot(g_blk, g_blk))
+            return (poses_blk, err, lam), (g_norm, cg_k)
+
+        rel_exit_tol = 1e-6
+
+        def w_cond(state):
+            _, _, _, k, stall, _, _ = state
+            return (k < cfg.max_gn_iters) & (stall < 2)
+
+        def w_body(state):
+            poses_blk, err, lam, k, stall, cg_total, gnorm = state
+            (p2, e2, l2), (g_n, cg_k) = trial((poses_blk, err, lam), None)
+            improved = (err - e2) > rel_exit_tol * jnp.maximum(err, 1e-30)
+            stall = jnp.where(improved, 0, stall + 1)
+            return p2, e2, l2, k + 1, stall, cg_total + cg_k, g_n
+
+        poses_blk, err, _, iters, _, cg_total, gnorm = lax.while_loop(
+            w_cond,
+            w_body,
+            (
+                poses0_blk,
+                err0,
+                jnp.asarray(1e-4, dtype),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(0.0, dtype),
+            ),
+        )
+        info = SolveInfo(
+            error0=err0, error=err, iterations=iters,
+            cg_iters_total=cg_total, grad_norm=gnorm,
+        )
+        return poses_blk, info
+
+    fn = shard_map(
+        solve_blk,
+        mesh=mesh,
+        in_specs=(
+            P(axis), P(axis),  # poses0 tree, odo_meas tree (leading dim)
+            P(), P(), P(), P(), P(), P(),  # lc arrays + odo_sigmas replicated
+        ),
+        out_specs=(P(axis), P()),
+        check_rep=False,
+    )
+    return fn(poses0, odo_meas, lc_i, lc_j, lc_meas, lc_sigmas, lc_valid, odo_sigmas)
+
+
+def seq_pose_graph_solve(mesh: Mesh, graph: PoseGraph,
+                         cfg: PoseGraphConfig = PoseGraphConfig(),
+                         axis: str = "data"):
+    """Pose-graph LM with the pose CHAIN block-partitioned over the mesh.
+
+    Unlike :func:`..parallel.shard.sharded_pose_graph_solve` (which shards only
+    the LC factor batch and replicates the chain), every O(P) tensor here lives
+    ``O(P/n)`` per device — the solver scales to missions whose pose system
+    exceeds one chip.  Same fixed point as :func:`solve_pose_graph` up to CG
+    tolerance.  Returns ``(poses, SolveInfo)``.
+    """
+    n = mesh.devices.size
+    poses0, odo_meas, B, P_pad, P_real = _pad_chain(graph, n)
+    poses_pad, info = _seq_pg_run(
+        poses0, odo_meas,
+        graph.lc_i, graph.lc_j, graph.lc_meas, graph.lc_sigmas, graph.lc_valid,
+        graph.odo_sigmas, mesh, cfg, axis, B, P_real,
+    )
+    return poses_pad[:P_real], info
+
+
+# ---------------------------------------------------------------------------
+# Full BA: pose chain SP + correspondence/landmark axis sharded
+# ---------------------------------------------------------------------------
+
+
+def _pad_ba(prob: BAProblem, n: int):
+    """Pad the chain like :func:`_pad_chain` and the correspondence axis to a
+    mesh multiple (padded slots invalid)."""
+    chain = PoseGraph(
+        poses0=prob.poses0, odo_meas=prob.odo_meas, odo_sigmas=prob.odo_sigmas,
+        lc_i=jnp.zeros(1, jnp.int32), lc_j=jnp.zeros(1, jnp.int32),
+        lc_meas=se3.identity((1,), prob.poses0.t.dtype),
+        lc_sigmas=jnp.ones((1, 6), prob.poses0.t.dtype),
+        lc_valid=jnp.zeros(1, bool),
+    )
+    poses0, odo_meas, B, P_pad, P_real = _pad_chain(chain, n)
+    K = int(prob.kp_i.shape[0])
+    Kb = -(-K // n)
+    pad = n * Kb - K
+
+    def zpad(a, fill):
+        if not pad:
+            return a
+        return jnp.concatenate([a, jnp.full((pad, *a.shape[1:]), fill, a.dtype)])
+
+    kp = dict(
+        kp_i=zpad(prob.kp_i, 0), kp_j=zpad(prob.kp_j, 0),
+        kp_sr_s=zpad(prob.kp_sr_s, 1.0), kp_sr_t=zpad(prob.kp_sr_t, 1.0),
+        kp_valid=zpad(prob.kp_valid, False),
+        lm0=zpad(prob.lm0, 0.0), lm_prior=zpad(prob.lm_prior, 0.0),
+    )
+    return poses0, odo_meas, kp, B, Kb, P_pad, P_real
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "cfg", "kp_cfg", "axis", "B", "Kb", "P_real"),
+)
+def _seq_ba_run(poses0, odo_meas, odo_sigmas,
+                kp_i, kp_j, kp_sr_s, kp_sr_t, kp_valid, lm0, lm_prior,
+                lm_prior_sigmas,
+                mesh: Mesh, cfg: FullBAConfig, kp_cfg: KeypointNoiseConfig,
+                axis: str, B: int, Kb: int, P_real: int):
+    n = mesh.devices.size
+    perm_from_next = [((i + 1) % n, i) for i in range(n)]
+    perm_to_next = [(i, (i + 1) % n) for i in range(n)]
+
+    def solve_blk(poses0_blk, odo_blk, odo_sigmas,
+                  kp_i_b, kp_j_b, sr_s_b, sr_t_b, kv_b, lm0_b, lmp_b,
+                  lm_prior_sigmas):
+        d = lax.axis_index(axis)
+        gidx = d * B + jnp.arange(B)
+        is_pad = gidx >= P_real
+        fix_rows = (gidx == 0) | is_pad
+        odo_valid = gidx < P_real - 1
+        dtype = poses0_blk.t.dtype
+        eyeB = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (B, 6, 6))
+
+        kp_owner_i = kp_i_b // B
+        kp_loc_i = kp_i_b % B
+        kp_owner_j = kp_j_b // B
+        kp_loc_j = kp_j_b % B
+
+        sig_s = jax.vmap(lambda sr: kp_noise_sigmas(sr, kp_cfg.sigma_r, kp_cfg.alpha_bw_deg))(sr_s_b)
+        sig_t = jax.vmap(lambda sr: kp_noise_sigmas(sr, kp_cfg.sigma_r, kp_cfg.alpha_bw_deg))(sr_t_b)
+
+        def halo_next(x_first):
+            return lax.ppermute(x_first, axis, perm_from_next)
+
+        def shifted(tree_blk):
+            halo = jax.tree_util.tree_map(lambda x: halo_next(x[0:1]), tree_blk)
+            return jax.tree_util.tree_map(
+                lambda a, h: jnp.concatenate([a[1:], h]), tree_blk, halo
+            )
+
+        def gather_full(tree_blk):
+            """all_gather the pose-block tree to full (P_pad, ...) — used ONLY
+            for 6-float/pose quantities (the documented O(P) transient)."""
+            return jax.tree_util.tree_map(
+                lambda x: lax.all_gather(x, axis, tiled=True), tree_blk
+            )
+
+        def scatter_pose(vals, owner, loc):
+            """(Kb, 6) per-factor pose contributions -> my (B, 6) block sum.
+
+            Every device writes its shard's contributions into an (n, B, 6)
+            buffer by owner; psum_scatter reduces owner-block b onto device b.
+            """
+            buf = jnp.zeros((n, B, vals.shape[-1]), vals.dtype)
+            buf = buf.at[owner, loc].add(vals)
+            return lax.psum_scatter(buf, axis, scatter_dimension=0, tiled=True)[0]
+
+        def fix_vec(v):
+            return jnp.where(fix_rows[:, None], 0.0, v)
+
+        # --- error (distributed) ---
+        def error(poses_blk, lms_b):
+            xj = shifted(poses_blk)
+            r_o = jax.vmap(between_residual)(poses_blk, xj, odo_blk) / odo_sigmas
+            r_o = jnp.where(odo_valid[:, None], r_o, 0.0)
+            poses_full = gather_full(poses_blk)
+            Ts = se3.identity(dtype=dtype)
+
+            def kp_res(pose, lm, sr, sig):
+                from ..factors.sss_point import sss_point_residual
+
+                m = jnp.stack([sr, jnp.zeros_like(sr)])
+                return sss_point_residual(lm, pose, Ts, m) / sig
+
+            r_s = jax.vmap(kp_res)(poses_full[kp_i_b], lms_b, sr_s_b, sig_s)
+            r_t = jax.vmap(kp_res)(poses_full[kp_j_b], lms_b, sr_t_b, sig_t)
+            r_pr = (lms_b - lmp_b) / lm_prior_sigmas
+            v = kv_b[:, None]
+            r_s = jnp.where(v, r_s, 0.0)
+            r_t = jnp.where(v, r_t, 0.0)
+            r_pr = jnp.where(v, r_pr, 0.0)
+            rob = jnp.sum(_huber_rho(jnp.sum(r_s**2, axis=-1), cfg.huber_delta)) + jnp.sum(
+                _huber_rho(jnp.sum(r_t**2, axis=-1), cfg.huber_delta)
+            )
+            local = 0.5 * (jnp.sum(r_o**2) + jnp.sum(r_pr**2)) + rob
+            return lax.psum(local, axis)
+
+        err0 = error(poses0_blk, lm0_b)
+        w_kp = kv_b.astype(dtype)
+
+        def trial(carry):
+            poses_blk, lms_b, err, lam = carry
+
+            # --- chain linearization (local + halo) ---
+            xj = shifted(poses_blk)
+            sig_b = jnp.broadcast_to(odo_sigmas, (B, 6))
+            r_o, Ja, Jb = jax.vmap(_linearize_between)(poses_blk, xj, odo_blk, sig_b)
+            w = odo_valid[:, None].astype(dtype)
+            r_o = r_o * w
+            Ja = Ja * w[..., None]
+            Jb = Jb * w[..., None]
+
+            # --- sonar factor linearization on my correspondence shard ---
+            poses_full = gather_full(poses_blk)  # O(P) 12-float transient
+            r_s, Jp_s, Jl_s = jax.vmap(_sss_factor_terms)(
+                poses_full[kp_i_b], lms_b, sr_s_b, sig_s
+            )
+            r_t, Jp_t, Jl_t = jax.vmap(_sss_factor_terms)(
+                poses_full[kp_j_b], lms_b, sr_t_b, sig_t
+            )
+            vmask = kv_b
+            r_s = jnp.where(vmask[:, None], r_s, 0.0)
+            r_t = jnp.where(vmask[:, None], r_t, 0.0)
+            w_s = _huber_weight(jnp.sum(r_s**2, axis=-1), cfg.huber_delta)
+            w_t = _huber_weight(jnp.sum(r_t**2, axis=-1), cfg.huber_delta)
+            r_s = r_s * w_s[:, None]
+            r_t = r_t * w_t[:, None]
+            Jp_s = jnp.where(vmask[:, None, None], Jp_s * w_s[:, None, None], 0.0)
+            Jp_t = jnp.where(vmask[:, None, None], Jp_t * w_t[:, None, None], 0.0)
+            Jl_s = jnp.where(vmask[:, None, None], Jl_s * w_s[:, None, None], 0.0)
+            Jl_t = jnp.where(vmask[:, None, None], Jl_t * w_t[:, None, None], 0.0)
+            r_pr = jnp.where(vmask[:, None], (lms_b - lmp_b) / lm_prior_sigmas, 0.0)
+            Jl_pr = (
+                jnp.broadcast_to(jnp.eye(3, dtype=dtype), (Kb, 3, 3))
+                / lm_prior_sigmas[None, :, None]
+            ) * w_kp[:, None, None]
+
+            # --- gradients ---
+            g_p = jnp.einsum("kab,ka->kb", Ja, r_o, precision=_HI)
+            cb = jnp.einsum("kab,ka->kb", Jb, r_o, precision=_HI)
+            g_p = g_p.at[1:].add(cb[:-1])
+            g_p = g_p.at[0:1].add(lax.ppermute(cb[-1:], axis, perm_to_next))
+            g_p = g_p + scatter_pose(
+                jnp.einsum("kab,ka->kb", Jp_s, r_s, precision=_HI), kp_owner_i, kp_loc_i
+            ) + scatter_pose(
+                jnp.einsum("kab,ka->kb", Jp_t, r_t, precision=_HI), kp_owner_j, kp_loc_j
+            )
+            g_l = (
+                jnp.einsum("kab,ka->kb", Jl_s, r_s, precision=_HI)
+                + jnp.einsum("kab,ka->kb", Jl_t, r_t, precision=_HI)
+                + jnp.einsum("kab,ka->kb", Jl_pr, r_pr, precision=_HI)
+            )
+
+            # --- Hessian blocks ---
+            D_p = jnp.einsum("kab,kac->kbc", Ja, Ja, precision=_HI)
+            Djj = jnp.einsum("kab,kac->kbc", Jb, Jb, precision=_HI)
+            D_p = D_p.at[1:].add(Djj[:-1])
+            D_p = D_p.at[0:1].add(lax.ppermute(Djj[-1:], axis, perm_to_next))
+            D_p = D_p + scatter_pose(
+                jnp.einsum("kab,kac->kbc", Jp_s, Jp_s, precision=_HI).reshape(Kb, 36),
+                kp_owner_i, kp_loc_i,
+            ).reshape(B, 6, 6) + scatter_pose(
+                jnp.einsum("kab,kac->kbc", Jp_t, Jp_t, precision=_HI).reshape(Kb, 36),
+                kp_owner_j, kp_loc_j,
+            ).reshape(B, 6, 6)
+            H_ll = (
+                jnp.einsum("kab,kac->kbc", Jl_s, Jl_s, precision=_HI)
+                + jnp.einsum("kab,kac->kbc", Jl_t, Jl_t, precision=_HI)
+                + jnp.einsum("kab,kac->kbc", Jl_pr, Jl_pr, precision=_HI)
+            )
+            H_ll = H_ll * (1.0 + lam) + 1e-6 * jnp.eye(3, dtype=dtype)
+            L_ll = jnp.linalg.cholesky(H_ll)
+
+            def ll_solve(x):
+                if x.ndim == 2:
+                    return jax.scipy.linalg.cho_solve((L_ll, True), x[..., None])[..., 0]
+                return jax.scipy.linalg.cho_solve((L_ll, True), x)
+
+            Hpl_s = jnp.einsum("kab,kac->kbc", Jp_s, Jl_s, precision=_HI)
+            Hpl_t = jnp.einsum("kab,kac->kbc", Jp_t, Jl_t, precision=_HI)
+
+            g_p = jnp.where(fix_rows[:, None], 0.0, g_p)
+            D_p = jnp.where(fix_rows[:, None, None], eyeB, D_p)
+
+            # --- Schur-reduced gradient ---
+            y = ll_solve(g_l)
+            g_red = g_p - (
+                scatter_pose(
+                    jnp.einsum("kac,kc->ka", Hpl_s, y, precision=_HI), kp_owner_i, kp_loc_i
+                )
+                + scatter_pose(
+                    jnp.einsum("kac,kc->ka", Hpl_t, y, precision=_HI), kp_owner_j, kp_loc_j
+                )
+            )
+            g_red = jnp.where(fix_rows[:, None], 0.0, g_red)
+
+            # --- Schur matvec ---
+            def matvec(v):
+                v = fix_vec(v)
+                v_next = halo_next(v[0:1])
+                vj = jnp.concatenate([v[1:], v_next])
+                a = jnp.einsum("kab,kb->ka", Ja, v, precision=_HI) + jnp.einsum(
+                    "kab,kb->ka", Jb, vj, precision=_HI
+                )
+                out = jnp.einsum("kab,ka->kb", Ja, a, precision=_HI)
+                cc = jnp.einsum("kab,ka->kb", Jb, a, precision=_HI)
+                out = out.at[1:].add(cc[:-1])
+                out = out.at[0:1].add(lax.ppermute(cc[-1:], axis, perm_to_next))
+                v_full = lax.all_gather(v, axis, tiled=True)  # O(P) 6-float transient
+                b_s = jnp.einsum("kab,kb->ka", Jp_s, v_full[kp_i_b], precision=_HI)
+                b_t = jnp.einsum("kab,kb->ka", Jp_t, v_full[kp_j_b], precision=_HI)
+                out = out + scatter_pose(
+                    jnp.einsum("kab,ka->kb", Jp_s, b_s, precision=_HI), kp_owner_i, kp_loc_i
+                ) + scatter_pose(
+                    jnp.einsum("kab,ka->kb", Jp_t, b_t, precision=_HI), kp_owner_j, kp_loc_j
+                )
+                wv = jnp.einsum("kab,ka->kb", Jl_s, b_s, precision=_HI) + jnp.einsum(
+                    "kab,ka->kb", Jl_t, b_t, precision=_HI
+                )
+                yv = ll_solve(wv)
+                out = out - (
+                    scatter_pose(
+                        jnp.einsum("kac,kc->ka", Hpl_s, yv, precision=_HI), kp_owner_i, kp_loc_i
+                    )
+                    + scatter_pose(
+                        jnp.einsum("kac,kc->ka", Hpl_t, yv, precision=_HI), kp_owner_j, kp_loc_j
+                    )
+                )
+                out = out + lam * jnp.einsum("pab,pb->pa", D_p, v, precision=_HI)
+                return jnp.where(fix_rows[:, None], v, out)
+
+            # --- preconditioner: chain tridiag per block with the Schur
+            # diagonal correction (clamped SPD, same scheme as solve_full_ba) ---
+            X_s = ll_solve(Hpl_s.swapaxes(-1, -2))
+            X_t = ll_solve(Hpl_t.swapaxes(-1, -2))
+            S_corr = scatter_pose(
+                jnp.einsum("kac,kcb->kab", Hpl_s, X_s, precision=_HI).reshape(Kb, 36),
+                kp_owner_i, kp_loc_i,
+            ).reshape(B, 6, 6) + scatter_pose(
+                jnp.einsum("kac,kcb->kab", Hpl_t, X_t, precision=_HI).reshape(Kb, 36),
+                kp_owner_j, kp_loc_j,
+            ).reshape(B, 6, 6)
+            Dp_damped = D_p * (1.0 + lam) - S_corr
+            Dp_damped = jnp.where(fix_rows[:, None, None], eyeB, Dp_damped)
+            Dp_damped = Dp_damped + 1e-5 * jnp.eye(6, dtype=dtype)
+
+            precond_kind = cfg.preconditioner
+            if precond_kind == "auto":
+                precond_kind = "dense_seg" if jax.default_backend() == "tpu" else "tridiag"
+            seg = cfg.tridiag_segment if jax.default_backend() != "tpu" else min(cfg.tridiag_segment, 64)
+            seg = min(seg, B)
+            if precond_kind in ("tridiag", "dense_seg"):
+                U_loc = jnp.einsum("kab,kac->kbc", Ja[: B - 1], Jb[: B - 1], precision=_HI)
+                cz = fix_rows[: B - 1] | fix_rows[1:]
+                U_loc = jnp.where(cz[:, None, None], 0.0, U_loc)
+                D_pc = jnp.where(
+                    jnp.isfinite(jnp.linalg.cholesky(Dp_damped)).all(axis=(-1, -2), keepdims=True),
+                    Dp_damped,
+                    D_p * (1.0 + lam) + 1e-5 * jnp.eye(6, dtype=dtype),
+                )
+                if precond_kind == "dense_seg":
+                    from ..solvers.tridiag import (
+                        apply_dense_segment_inverses,
+                        auto_dense_segment,
+                        dense_segment_inverses,
+                    )
+
+                    seg_d = min(auto_dense_segment(B, cfg.tridiag_segment), B)
+                    Minv = dense_segment_inverses(D_pc, U_loc, seg_d)
+
+                    def precond(v):
+                        return apply_dense_segment_inverses(Minv, v)
+
+                else:
+                    from ..solvers.tridiag import solve_block_tridiag_segmented
+
+                    def precond(v):
+                        return solve_block_tridiag_segmented(D_pc, U_loc, v, seg)
+
+            else:
+                Lp = jnp.linalg.cholesky(Dp_damped)
+                ok = jnp.all(jnp.isfinite(Lp))
+                Lp_safe = jnp.where(
+                    ok, Lp, jnp.linalg.cholesky(D_p * (1.0 + lam) + 1e-5 * jnp.eye(6, dtype=dtype))
+                )
+
+                def precond(v):
+                    return jax.scipy.linalg.cho_solve((Lp_safe, True), v[..., None])[..., 0]
+
+            def dot(a, b):
+                return lax.psum(jnp.sum(a * b), axis)
+
+            delta_p, cg_k = _pcg_dist(matvec, -g_red, precond, cfg.cg_tol, cfg.cg_max_iters, dot)
+            delta_p = fix_vec(delta_p)
+
+            # --- landmark back-substitution (needs delta at kp endpoints) ---
+            dp_full = lax.all_gather(delta_p, axis, tiled=True)
+            hv = jnp.einsum("kab,kb->ka", Jp_s, dp_full[kp_i_b], precision=_HI)
+            ht = jnp.einsum("kab,kb->ka", Jp_t, dp_full[kp_j_b], precision=_HI)
+            w2 = jnp.einsum("kab,ka->kb", Jl_s, hv, precision=_HI) + jnp.einsum(
+                "kab,ka->kb", Jl_t, ht, precision=_HI
+            )
+            delta_l = ll_solve(-g_l - w2)
+
+            new_poses = se3.retract(poses_blk, delta_p)
+            new_poses = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    fix_rows.reshape((B,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                poses_blk,
+                new_poses,
+            )
+            new_lms = lms_b + delta_l
+            new_err = error(new_poses, new_lms)
+            good = jnp.isfinite(new_err) & (new_err < err)
+            poses_blk = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(good, b, a), poses_blk, new_poses
+            )
+            lms_b = jnp.where(good, new_lms, lms_b)
+            err = jnp.where(good, new_err, err)
+            lam = jnp.where(good, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 10.0, 1e6))
+            return poses_blk, lms_b, err, lam, cg_k
+
+        def w_cond(state):
+            _, _, _, _, k, stall, _ = state
+            return (k < cfg.max_iters) & (stall < 2)
+
+        def w_body(state):
+            poses_blk, lms_b, err, lam, k, stall, cg_total = state
+            p2, l2, e2, lam2, cg_k = trial((poses_blk, lms_b, err, lam))
+            improved = (err - e2) > 1e-6 * jnp.maximum(err, 1e-30)
+            stall = jnp.where(improved, 0, stall + 1)
+            return p2, l2, e2, lam2, k + 1, stall, cg_total + cg_k
+
+        dtype0 = poses0_blk.t.dtype
+        poses_blk, lms_b, err, _, iters, _, cg_total = lax.while_loop(
+            w_cond,
+            w_body,
+            (
+                poses0_blk,
+                lm0_b,
+                err0,
+                jnp.asarray(1e-4, dtype0),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32),
+            ),
+        )
+        info = BAInfo(error0=err0, error=err, iterations=iters, cg_iters_total=cg_total)
+        return poses_blk, lms_b, info
+
+    fn = shard_map(
+        solve_blk,
+        mesh=mesh,
+        in_specs=(
+            P(axis), P(axis), P(),
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+            P(),
+        ),
+        out_specs=(P(axis), P(axis), P()),
+        check_rep=False,
+    )
+    return fn(poses0, odo_meas, odo_sigmas,
+              kp_i, kp_j, kp_sr_s, kp_sr_t, kp_valid, lm0, lm_prior,
+              lm_prior_sigmas)
+
+
+def seq_full_ba_solve(mesh: Mesh, prob: BAProblem,
+                      cfg: FullBAConfig = FullBAConfig(),
+                      kp_cfg: KeypointNoiseConfig = KeypointNoiseConfig(),
+                      axis: str = "data"):
+    """Joint Schur-complement BA with pose chain SP + correspondence axis DP.
+
+    Per-device memory: O(P/n) for every pose-chain tensor (poses, odometry
+    Jacobians, block diagonal, tridiag state), O(K/n) for every
+    correspondence/landmark tensor; the only O(P) object is the transient
+    all_gather of 6-float CG vectors.  Same fixed point as
+    :func:`..solvers.full_ba.solve_full_ba` up to CG tolerance.
+    Returns ``(poses, landmarks, BAInfo)``.
+    """
+    n = mesh.devices.size
+    poses0, odo_meas, kp, B, Kb, P_pad, P_real = _pad_ba(prob, n)
+    K_real = int(prob.kp_i.shape[0])
+    poses_pad, lms_pad, info = _seq_ba_run(
+        poses0, odo_meas, prob.odo_sigmas,
+        kp["kp_i"], kp["kp_j"], kp["kp_sr_s"], kp["kp_sr_t"], kp["kp_valid"],
+        kp["lm0"], kp["lm_prior"], prob.lm_prior_sigmas,
+        mesh, cfg, kp_cfg, axis, B, Kb, P_real,
+    )
+    return poses_pad[:P_real], lms_pad[:K_real], info
