@@ -159,7 +159,11 @@ def main(argv=None) -> int:
             "ate_dr": result.ate_dr,
             "ate_est": result.ate_est,
             "eval1": {f"{k}": e._asdict() | {"ini_dists": None, "fnl_dists": None} for k, e in result.eval1.items()},
-            "eval2": {f"{k}": e._asdict() for k, e in result.eval2.items()},
+            "eval2": {
+                f"{k}": e._asdict()
+                | {"range_dr_e": None, "range_est_e": None, "plane_dr_e": None, "plane_est_e": None}
+                for k, e in result.eval2.items()
+            },
             "timings": result.timings,
         }
         with open(args.metrics, "w") as f:

@@ -173,9 +173,12 @@ class PoseGraphConfig:
     max_gn_iters: int = 30  # outer LM iterations of the batch solver
     cg_tol: float = 1e-6
     cg_max_iters: int = 250
-    # "jacobi" wins on TPU at survey scale (wide batched kernels); "tridiag"
-    # (segment-parallel cyclic reduction) wins on CPU and for very long chains
-    # where CG iteration count dominates; "auto" picks by backend
+    # "jacobi" = block-diagonal; "tridiag" = segment-parallel cyclic reduction
+    # (best on CPU); "dense_seg" = the SAME segmented chain preconditioner in
+    # MXU form — dense per-segment inverses built once per LM trial, each PCG
+    # application one wide batched GEMM (best on TPU: cyclic reduction's narrow
+    # 6x6 levels measured ~10x wall vs jacobi in round 1, PERF.md); "auto"
+    # picks dense_seg on TPU / tridiag elsewhere
     preconditioner: str = "auto"
     tridiag_segment: int = 256  # segment length for the segment-parallel solve
     seed: int = 0  # initial-noise PRNG seed
@@ -206,7 +209,9 @@ class FullBAConfig:
     max_iters: int = 40
     cg_tol: float = 1e-6
     cg_max_iters: int = 250
-    preconditioner: str = "auto"  # "jacobi" | "tridiag" | "auto" (by backend)
+    # "jacobi" | "tridiag" | "dense_seg" | "auto" (dense_seg on TPU, tridiag
+    # elsewhere — see PoseGraphConfig.preconditioner)
+    preconditioner: str = "auto"
     tridiag_segment: int = 256
 
 

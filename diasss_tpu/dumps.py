@@ -88,3 +88,20 @@ def write_reference_dumps(out_dir: str, result, kps_pairs: dict) -> None:
         ]:
             vals = [getattr(result.eval2[k], field) for k in result.pair_ids if k in result.eval2]
             _writecol(os.path.join(out_dir, "result", "pr_errors", name), vals)
+
+        # per-pair eval_2 error columns ({dr,est}_{range,plane}_e_<i>.txt,
+        # optimizer.cpp:1605-1612) — one file per gated pair, pair order
+        for idx, key in enumerate(result.pair_ids):
+            e2 = result.eval2.get(key)
+            if e2 is None or e2.n_pairs == 0:
+                continue
+            for name, field in [
+                (f"dr_range_e_{idx}.txt", "range_dr_e"),
+                (f"dr_plane_e_{idx}.txt", "plane_dr_e"),
+                (f"est_range_e_{idx}.txt", "range_est_e"),
+                (f"est_plane_e_{idx}.txt", "plane_est_e"),
+            ]:
+                _writecol(
+                    os.path.join(out_dir, "result", "pr_errors", name),
+                    getattr(e2, field),
+                )

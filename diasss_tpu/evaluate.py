@@ -39,6 +39,9 @@ class Eval1Result(NamedTuple):
     fnl_dists: np.ndarray  # per-pair (est_lm_dist_*.txt)
 
 
+_E0 = np.zeros(0)
+
+
 class Eval2Result(NamedTuple):
     range_improved_pct: float
     plane_improved_pct: float
@@ -47,6 +50,12 @@ class Eval2Result(NamedTuple):
     avg_range_est: float
     avg_plane_dr: float
     avg_plane_est: float
+    # per-correspondence error columns — the reference writes these per pair
+    # as result/pr_errors/{dr,est}_{range,plane}_e_<i>.txt (optimizer.cpp:1605-1612)
+    range_dr_e: np.ndarray = _E0
+    range_est_e: np.ndarray = _E0
+    plane_dr_e: np.ndarray = _E0
+    plane_est_e: np.ndarray = _E0
 
 
 def eval_landmark_consistency(
@@ -161,6 +170,10 @@ def eval_triangulated_consistency(
         avg_range_est=float(r_est.mean()),
         avg_plane_dr=float(p_dr.mean()),
         avg_plane_est=float(p_est.mean()),
+        range_dr_e=r_dr,
+        range_est_e=r_est,
+        plane_dr_e=p_dr,
+        plane_est_e=p_est,
     )
 
 
@@ -327,5 +340,9 @@ def eval_triangulated_consistency_stacked(
             avg_range_est=float(r_est[a:b].mean()),
             avg_plane_dr=float(p_dr[a:b].mean()),
             avg_plane_est=float(p_est[a:b].mean()),
+            range_dr_e=r_dr[a:b],
+            range_est_e=r_est[a:b],
+            plane_dr_e=p_dr[a:b],
+            plane_est_e=p_est[a:b],
         )
     return out

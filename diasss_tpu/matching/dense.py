@@ -221,29 +221,62 @@ def _correlate(
     )
 
 
-def _smooth_filter(kp_geo: np.ndarray, tgt_geo: np.ndarray, ok: np.ndarray, cfg: DenseMatchConfig):
+@functools.partial(jax.jit, static_argnames=("radius", "min_neighbors", "tol"))
+def _smooth_filter_dev(
+    kp_geo: jnp.ndarray,  # (K, 2)
+    tgt_geo: jnp.ndarray,  # (K, 2)
+    ok: jnp.ndarray,  # (K,)
+    radius: float,
+    min_neighbors: int,
+    tol: float,
+) -> jnp.ndarray:
     """Local displacement-field consistency: keep matches whose displacement
-    agrees (within ``smooth_tol``) with the componentwise median displacement
-    of accepted neighbors within ``smooth_radius``; matches with fewer than
-    ``smooth_min_neighbors`` neighbors are dropped (no local support)."""
+    agrees (within ``tol``) with the componentwise median displacement of
+    accepted neighbors within ``radius``; matches with fewer than
+    ``min_neighbors`` neighbors are dropped (no local support).
+
+    One fused device op: the masked per-row median is a sort of the (K, K)
+    neighbor-masked displacement matrix — replaces a per-keypoint Python loop
+    that serialized the stage at the 2000-kp capacity.
+    """
     d = tgt_geo - kp_geo  # (K, 2)
-    idx = np.nonzero(ok)[0]
-    if len(idx) == 0:
-        return ok
-    P = kp_geo[idx]
-    D = d[idx]
-    dist = np.linalg.norm(P[:, None, :] - P[None, :, :], axis=-1)
-    nbr = (dist <= cfg.smooth_radius) & ~np.eye(len(idx), dtype=bool)
-    keep = np.zeros(len(idx), bool)
-    for a in range(len(idx)):
-        nn = np.nonzero(nbr[a])[0]
-        if len(nn) < cfg.smooth_min_neighbors:
-            continue
-        med = np.median(D[nn], axis=0)
-        keep[a] = np.linalg.norm(D[a] - med) <= cfg.smooth_tol
-    out = np.zeros_like(ok)
-    out[idx[keep]] = True
-    return out
+    diff = kp_geo[:, None, :] - kp_geo[None, :, :]
+    dist2 = jnp.sum(diff * diff, axis=-1)
+    K = kp_geo.shape[0]
+    eye = jnp.eye(K, dtype=bool)
+    nbr = (dist2 <= radius * radius) & ok[None, :] & ~eye
+    nn = jnp.sum(nbr, axis=1)  # (K,) accepted-neighbor counts
+
+    big = jnp.asarray(1e9, d.dtype)
+
+    def med(col):
+        # masked median: non-neighbors pushed to +big, so after sorting the
+        # first nn entries are the neighbor values; numpy's even-count rule
+        # (mean of the middle two) replicated exactly
+        m = jnp.where(nbr, col[None, :], big)
+        s = jnp.sort(m, axis=1)
+        lo = jnp.take_along_axis(s, jnp.maximum((nn - 1) // 2, 0)[:, None], axis=1)[:, 0]
+        hi = jnp.take_along_axis(s, (nn // 2)[:, None], axis=1)[:, 0]
+        return 0.5 * (lo + hi)
+
+    dev = jnp.sqrt((d[:, 0] - med(d[:, 0])) ** 2 + (d[:, 1] - med(d[:, 1])) ** 2)
+    return ok & (nn >= min_neighbors) & (dev <= tol)
+
+
+def _smooth_filter(kp_geo: np.ndarray, tgt_geo: np.ndarray, ok: np.ndarray, cfg: DenseMatchConfig):
+    """Host wrapper over :func:`_smooth_filter_dev` (kept for the empty-input
+    short-circuit and numpy in/out convenience)."""
+    if not np.any(ok):
+        return np.zeros_like(np.asarray(ok))
+    keep = _smooth_filter_dev(
+        jnp.asarray(kp_geo, jnp.float32),
+        jnp.asarray(tgt_geo, jnp.float32),
+        jnp.asarray(ok),
+        radius=float(cfg.smooth_radius),
+        min_neighbors=int(cfg.smooth_min_neighbors),
+        tol=float(cfg.smooth_tol),
+    )
+    return np.asarray(keep)
 
 
 def dense_matching(

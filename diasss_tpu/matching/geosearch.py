@@ -43,6 +43,26 @@ def geo_nn_search(
     cfg: MatcherConfig = MatcherConfig(),
     parity_flip: bool = False,  # opposite-parity images (ORB bound, FEAmatcher.cpp:144-145)
 ) -> NNResult:
+    if cfg.desc_metric == "hamming":
+        bound = cfg.orb_dist_bound_cross if parity_flip else cfg.orb_dist_bound
+    elif cfg.desc_metric == "ncc":
+        bound = 1.0 - cfg.ncc_min
+    else:
+        bound = cfg.sift_dist_bound
+    return nn_core(
+        geo_q, desc_q, valid_q, geo_r, desc_r, valid_r, ref_bbox,
+        jnp.asarray(bound, jnp.float32), cfg,
+    )
+
+
+def nn_core(
+    geo_q, desc_q, valid_q, geo_r, desc_r, valid_r, ref_bbox,
+    bound: jnp.ndarray,  # () traced accept bound — vmappable over pair batches
+    cfg: MatcherConfig,
+) -> NNResult:
+    """The matmul-shaped NN search body with a TRACED distance bound; the
+    whole-survey stacked matcher (robust.py:robust_matching_stacked) vmaps
+    this over the pair axis with per-pair parity-dependent bounds."""
     # geo distance gate
     d2 = jnp.sum((geo_q[:, None, :] - geo_r[None, :, :]) ** 2, axis=-1)  # (K, Kr)
     gate = d2 < cfg.geo_radius**2
@@ -61,12 +81,10 @@ def geo_nn_search(
         from ..features.orb_desc import hamming_matrix
 
         dist = hamming_matrix(desc_q, desc_r)
-        bound = cfg.orb_dist_bound_cross if parity_flip else cfg.orb_dist_bound
     elif cfg.desc_metric == "ncc":
         # geo-patch path: descriptors are mean-free unit vectors, so the dot
         # product IS the normalized cross-correlation; distance = 1 - NCC
         dist = 1.0 - jnp.matmul(desc_q, desc_r.T, precision=_HI)
-        bound = 1.0 - cfg.ncc_min
     else:
         # SIFT L2 distances via the matmul identity
         q2 = jnp.sum(desc_q * desc_q, axis=-1)
@@ -74,7 +92,6 @@ def geo_nn_search(
         cross = jnp.matmul(desc_q, desc_r.T, precision=_HI)
         dist2 = jnp.maximum(q2[:, None] + r2[None, :] - 2.0 * cross, 0.0)
         dist = jnp.sqrt(dist2)
-        bound = cfg.sift_dist_bound
     masked = jnp.where(gate, dist, _BIG)
 
     # best and second-best over candidates (guard tiny reference sets)

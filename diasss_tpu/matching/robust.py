@@ -17,6 +17,7 @@ reference stores (pt.y, pt.x) = (ping, bin) order.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -104,10 +105,20 @@ def robust_matching(
             feats_s.xy, feats_t.xy,
         )
     )
-    inl1 = int(inl1)
-    inl2 = int(inl2)
+    return _merge_directions(
+        img_id_s, img_id_t, xy_s, xy_t, c1, c2,
+        int(inl1), int(inl2), float(m1), float(m2), rows_s, rows_t, cfg,
+    )
+
+
+def _merge_directions(
+    img_id_s, img_id_t, xy_s, xy_t, c1, c2, inl1, inl2, m1, m2,
+    rows_s, rows_t, cfg,
+) -> MatchResult:
+    """Host-side consistency merge of the two directions' SCC outcomes
+    (ConsistentCheck, FEAmatcher.cpp:323-405); all arrays are small numpy."""
     img_diff = abs(rows_s - rows_t) if (img_id_s % 2 != img_id_t % 2) else 0.0
-    kp_diff = abs(abs(float(m1) - float(m2)) - img_diff)
+    kp_diff = abs(abs(m1 - m2) - img_diff)
     consistent = kp_diff <= cfg.consistency_thres
     if consistent:
         i1 = np.nonzero(c1 >= 0)[0]
@@ -144,3 +155,144 @@ def robust_matching(
         inliers_2=inl2,
         consistent=bool(consistent),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _stacked_nn_scc(
+    kp_geo,  # (F, K, 2) per-frame keypoint geo positions
+    desc,    # (F, K, D)
+    valid,   # (F, K)
+    xy,      # (F, K, 2)
+    bboxes,  # (F, 4)
+    src,     # (Np,) int32 source frame index per pair
+    tgt,     # (Np,) int32 target frame index per pair
+    bounds,  # (Np,) per-pair accept bound (parity-dependent for hamming)
+    parity,  # (Np,) bool
+    n_rows,  # (F,) float32 image row counts
+    keys,    # (Np, 2, 2) uint32 PRNG keys, [p, direction]
+    cfg: MatcherConfig,
+):
+    """Both directions of every gated pair's NN search + SCC in ONE dispatch.
+
+    The per-pair host loop of ``robust_matching`` costs one device round trip
+    per pair (185 ms/pair measured through the remote-TPU tunnel, PERF.md);
+    here the pair axis is a vmapped leading dim — matching cost becomes ~flat
+    in pair count, like the stacked LC solver (solvers/lc.py).
+    """
+    from .geosearch import nn_core
+
+    def one_dir(qi, ri, bd):
+        return nn_core(
+            kp_geo[qi], desc[qi], valid[qi], kp_geo[ri], desc[ri], valid[ri],
+            bboxes[ri], bd, cfg,
+        )
+
+    nn1 = jax.vmap(lambda p, b: one_dir(src[p], tgt[p], b))(
+        jnp.arange(src.shape[0]), bounds
+    )
+    nn2 = jax.vmap(lambda p, b: one_dir(tgt[p], src[p], b))(
+        jnp.arange(src.shape[0]), bounds
+    )
+    c1, c2 = nn1.corres, nn2.corres  # (Np, K)
+
+    if cfg.cross_check:
+        K = c1.shape[1]
+        ar = jnp.arange(K)[None, :]
+        m1 = (c1 >= 0) & (
+            jnp.take_along_axis(c2, jnp.clip(c1, 0), axis=1) == ar
+        )
+        m2 = (c2 >= 0) & (
+            jnp.take_along_axis(c1, jnp.clip(c2, 0), axis=1) == ar
+        )
+        c1 = jnp.where(m1, c1, -1)
+        c2 = jnp.where(m2, c2, -1)
+
+    def one_scc(p, corres, qi, ri, key):
+        return scc_filter(
+            xy[qi][:, 1], xy[ri][:, 1], corres, parity[p],
+            n_rows[ri], key, cfg,
+            kp_x_q=xy[qi][:, 0], kp_x_r=xy[ri][:, 0],
+        )
+
+    idx = jnp.arange(src.shape[0])
+    scc1 = jax.vmap(lambda p, c, k: one_scc(p, c, src[p], tgt[p], k))(
+        idx, c1, keys[:, 0]
+    )
+    scc2 = jax.vmap(lambda p, c, k: one_scc(p, c, tgt[p], src[p], k))(
+        idx, c2, keys[:, 1]
+    )
+    return scc1, scc2
+
+
+def robust_matching_stacked(
+    pair_ids,              # list of (i, j) frame-index pairs
+    img_ids,               # list of per-frame image ids
+    feats_list,            # list of DetectedFeatures (same K, D across frames)
+    geo_list,              # list of (N, M, 2) geo images
+    rows_list,             # list of per-frame row counts
+    cfg: MatcherConfig = MatcherConfig(),
+):
+    """Whole-survey robust matching: every gated pair's bidirectional NN + SCC
+    batched into one device dispatch + ONE device->host transfer, then the
+    (cheap, small) consistency merges in numpy.  Semantics identical to
+    per-pair :func:`robust_matching` — same PRNG stream per pair, same merge
+    rule.  Requires equal keypoint capacity across frames (the detector pads
+    to ``n_features``).  Returns ``{(i, j): MatchResult}``.
+    """
+    if not pair_ids:
+        return {}
+    F = len(feats_list)
+    kp_geo = jnp.stack([
+        _kp_geo(feats_list[f], geo_list[f]) for f in range(F)
+    ])
+    desc = jnp.stack([feats_list[f].desc for f in range(F)])
+    valid = jnp.stack([feats_list[f].valid for f in range(F)])
+    xy = jnp.stack([feats_list[f].xy for f in range(F)])
+    bboxes = jnp.stack([
+        jnp.asarray([
+            jnp.min(g[..., 0]), jnp.max(g[..., 0]),
+            jnp.min(g[..., 1]), jnp.max(g[..., 1]),
+        ])
+        for g in geo_list
+    ])
+    src = jnp.asarray([i for (i, j) in pair_ids], jnp.int32)
+    tgt = jnp.asarray([j for (i, j) in pair_ids], jnp.int32)
+    parity_host = [
+        (img_ids[i] % 2) != (img_ids[j] % 2) for (i, j) in pair_ids
+    ]
+    if cfg.desc_metric == "hamming":
+        bounds_host = [
+            cfg.orb_dist_bound_cross if p else cfg.orb_dist_bound
+            for p in parity_host
+        ]
+    elif cfg.desc_metric == "ncc":
+        bounds_host = [1.0 - cfg.ncc_min] * len(pair_ids)
+    else:
+        bounds_host = [cfg.sift_dist_bound] * len(pair_ids)
+    bounds = jnp.asarray(bounds_host, jnp.float32)
+    parity = jnp.asarray(parity_host)
+    n_rows = jnp.asarray([float(r) for r in rows_list], jnp.float32)
+    # identical PRNG stream to the per-pair path: key = PRNGKey(seed) split
+    # into (k1, k2) for every pair
+    base = jax.random.PRNGKey(cfg.rng_seed)
+    k1, k2 = jax.random.split(base)
+    keys = jnp.broadcast_to(
+        jnp.stack([k1, k2])[None], (len(pair_ids), 2, 2)
+    ).astype(jnp.uint32)
+
+    scc1, scc2 = _stacked_nn_scc(
+        kp_geo, desc, valid, xy, bboxes, src, tgt, bounds, parity, n_rows, keys, cfg
+    )
+    # ONE transfer for the whole survey
+    c1, c2, inl1, inl2, m1, m2, xy_np = jax.device_get(
+        (scc1.corres, scc2.corres, scc1.inlier_count, scc2.inlier_count,
+         scc1.model_x, scc2.model_x, xy)
+    )
+    out = {}
+    for p, (i, j) in enumerate(pair_ids):
+        out[(i, j)] = _merge_directions(
+            img_ids[i], img_ids[j], xy_np[i], xy_np[j],
+            c1[p], c2[p], int(inl1[p]), int(inl2[p]),
+            float(m1[p]), float(m2[p]), rows_list[i], rows_list[j], cfg,
+        )
+    return out

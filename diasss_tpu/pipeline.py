@@ -121,6 +121,25 @@ def _match_pairs(frames, feats, geo_list, pair_ids, cfg: PipelineConfig, matcher
             for ft, f, g in zip(feats, frames, geo_list)
         ]
     corres_rows: Dict[int, list] = {i: [] for i in range(len(frames))}
+    same_caps = len({(f.xy.shape[0], f.desc.shape[1]) for f in feats}) == 1
+    if same_caps and len(pair_ids) > 1:
+        # whole-survey stacked dispatch: one device program + ONE transfer for
+        # all pairs (the per-pair loop costs a device round trip per pair)
+        from .matching.robust import robust_matching_stacked
+
+        results = robust_matching_stacked(
+            pair_ids,
+            [f.img_id for f in frames],
+            feats,
+            geo_list,
+            [f.raw.shape[0] for f in frames],
+            cfg=matcher_cfg,
+        )
+        for (i, j), m in results.items():
+            if m.n_matches:
+                corres_rows[i].append((frames[j].img_id, m.rows_s))
+                corres_rows[j].append((frames[i].img_id, m.rows_t))
+        return corres_rows
     for (i, j) in pair_ids:
         m = robust_matching(
             frames[i].img_id,

@@ -305,14 +305,35 @@ def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg):
 
         precond_kind = cfg.preconditioner
         if precond_kind == "auto":
-            # unlike the pose-graph solver, full BA's Schur system is hard
-            # enough that block-Jacobi hits the CG cap and stalls the LM at a
-            # worse optimum (measured: ATE 1.98 vs 1.44 on TPU) — the chain
-            # preconditioner wins on BOTH backends here; TPU prefers shorter
-            # segments (fewer, wider cyclic-reduction levels)
-            precond_kind = "tridiag"
+            # full BA's Schur system is hard enough that block-Jacobi hits the
+            # CG cap and stalls the LM at a worse optimum (measured: ATE 1.98
+            # vs 1.44 on TPU, round 1) — the chain preconditioner wins on BOTH
+            # backends.  On TPU it runs in its MXU form: dense per-segment
+            # inverses computed once per trial, applications are one wide
+            # batched GEMM (tridiag.dense_segment_inverses) instead of
+            # log2(segment) levels of narrow 6x6 kernels.
+            precond_kind = "dense_seg" if jax.default_backend() == "tpu" else "tridiag"
         seg = cfg.tridiag_segment if jax.default_backend() != "tpu" else min(cfg.tridiag_segment, 64)
-        if precond_kind == "tridiag":
+        if precond_kind == "dense_seg":
+            from .tridiag import (
+                apply_dense_segment_inverses,
+                auto_dense_segment,
+                dense_segment_inverses,
+            )
+
+            U = U_chain.at[0].set(0.0)
+            D_pc = jnp.where(
+                jnp.isfinite(jnp.linalg.cholesky(Dp_damped)).all(axis=(-1, -2), keepdims=True),
+                Dp_damped,
+                D_p * (1.0 + lam) + 1e-5 * jnp.eye(6, dtype=dtype),
+            )
+            seg_d = auto_dense_segment(P, cfg.tridiag_segment)
+            Minv = dense_segment_inverses(D_pc, U, seg_d)
+
+            def precond(v):
+                return apply_dense_segment_inverses(Minv, v)
+
+        elif precond_kind == "tridiag":
             # chain preconditioner on the Schur system: the odometry part is
             # still exactly block-tridiagonal; solve it per CG iteration with
             # segment-parallel cyclic reduction (same rationale as pose_graph)

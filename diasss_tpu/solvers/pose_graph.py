@@ -205,9 +205,28 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig())
 
         precond_kind = cfg.preconditioner
         if precond_kind == "auto":
-            # trace-time platform choice (see PoseGraphConfig.preconditioner)
-            precond_kind = "jacobi" if jax.default_backend() == "tpu" else "tridiag"
-        if precond_kind == "tridiag":
+            # trace-time platform choice (see PoseGraphConfig.preconditioner):
+            # on TPU the chain preconditioner in its MXU form (dense per-segment
+            # inverses, one wide batched GEMM per application) keeps the tridiag
+            # optimum without the narrow-6x6-kernel wall cost that made round 1
+            # fall back to jacobi (PERF.md)
+            precond_kind = "dense_seg" if jax.default_backend() == "tpu" else "tridiag"
+        if precond_kind == "dense_seg":
+            from .tridiag import (
+                apply_dense_segment_inverses,
+                auto_dense_segment,
+                dense_segment_inverses,
+            )
+
+            U = jnp.einsum("fab,fac->fbc", Ji[: P - 1], Jj[: P - 1], precision=_HI)
+            U = U.at[0].set(0.0)
+            seg = auto_dense_segment(P, cfg.tridiag_segment)
+            Minv = dense_segment_inverses(Dp, U, seg)
+
+            def precond(v):
+                return apply_dense_segment_inverses(Minv, v)
+
+        elif precond_kind == "tridiag":
             # exact chain preconditioner: the odometry part of H is exactly
             # block-tridiagonal, solved in log2(P) batched levels (cyclic
             # reduction) — PCG iterations are then governed by the loop-closure

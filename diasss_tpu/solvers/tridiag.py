@@ -153,3 +153,68 @@ def solve_block_tridiag_segmented(
     U_seg = U_full.reshape(S, segment, 6, 6)[:, : segment - 1]
     x = jax.vmap(solve_block_tridiag)(D_seg, U_seg, b_seg)
     return x.reshape(S * segment, 6)[:P]
+
+
+def dense_segment_inverses(D: jnp.ndarray, U: jnp.ndarray, segment: int) -> jnp.ndarray:
+    """(S, 6*segment, 6*segment) explicit inverses of the per-segment dense
+    chain matrices — the MXU formulation of the segmented chain preconditioner.
+
+    Cyclic reduction (:func:`solve_block_tridiag_segmented`) applies the same
+    linear operator in ``log2(segment)`` levels of NARROW 6x6 batched algebra —
+    measured ~10x wall vs block-Jacobi on TPU (PERF.md round 1): the MXU is idle
+    on 6-wide kernels.  Assembling each segment's block-tridiagonal matrix
+    densely and inverting ONCE per LM trial turns every PCG preconditioner
+    application into a single wide batched GEMM ``(S, m, m) @ (S, m)`` — pure
+    MXU work — while computing the exact same preconditioner (cross-segment
+    couplings dropped, chain exact within a segment).
+
+    Cost: one batched (S, m, m) inversion per trial (m = 6*segment) and
+    ``36 * P * segment`` floats of memory — callers shrink ``segment`` as P
+    grows (see :func:`auto_dense_segment`).
+    """
+    P = D.shape[0]
+    S = -(-P // segment)
+    pad = S * segment - P
+    eye6 = jnp.eye(6, dtype=D.dtype)
+    if pad:
+        D = jnp.concatenate([D, jnp.broadcast_to(eye6, (pad, 6, 6))])
+    U_full = jnp.concatenate([U, jnp.zeros((pad + 1, 6, 6), U.dtype)])[: S * segment]
+    idx = jnp.arange(S * segment)
+    cross = (idx % segment) == (segment - 1)
+    U_full = jnp.where(cross[:, None, None], 0.0, U_full)
+
+    D_seg = D.reshape(S, segment, 6, 6)
+    U_seg = U_full.reshape(S, segment, 6, 6)[:, : segment - 1]
+
+    m = 6 * segment
+    T = jnp.zeros((S, segment, 6, segment, 6), D.dtype)
+    ii = jnp.arange(segment)
+    T = T.at[:, ii, :, ii, :].set(jnp.swapaxes(D_seg, 0, 1))
+    if segment > 1:
+        jj = jnp.arange(segment - 1)
+        T = T.at[:, jj, :, jj + 1, :].set(jnp.swapaxes(U_seg, 0, 1))
+        T = T.at[:, jj + 1, :, jj, :].set(
+            jnp.swapaxes(U_seg.swapaxes(-1, -2), 0, 1)
+        )
+    M = T.reshape(S, m, m)
+    return jnp.linalg.inv(M)
+
+
+def apply_dense_segment_inverses(Minv: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Apply precomputed segment inverses: one batched GEMM.  ``b``: (P, 6)."""
+    S, m, _ = Minv.shape
+    segment = m // 6
+    P = b.shape[0]
+    pad = S * segment - P
+    b_p = jnp.concatenate([b, jnp.zeros((pad, 6), b.dtype)]) if pad else b
+    x = jnp.einsum("sij,sj->si", Minv, b_p.reshape(S, m), precision=_HI)
+    return x.reshape(S * segment, 6)[:P]
+
+
+def auto_dense_segment(P: int, requested: int, budget_floats: int = 150_000_000) -> int:
+    """Largest power-of-two segment <= requested whose inverse store
+    ``36 * P * segment`` floats fits the budget (>= 8)."""
+    seg = 8
+    while seg * 2 <= requested and 36 * P * (seg * 2) <= budget_floats:
+        seg *= 2
+    return min(seg, max(8, requested))

@@ -155,3 +155,57 @@ class TestGeoPatchDescriptors:
         assert bool(ok_s[0]) and bool(ok_t[0])
         ncc = float(jnp.dot(d_s[0], d_t[0]))
         assert ncc > 0.3, ncc
+
+
+class TestSmoothFilter:
+    """The vectorized device smoothness filter must replicate the per-keypoint
+    median-of-neighbors loop it replaced (componentwise median, even-count
+    averaging, min-neighbor support rule)."""
+
+    @staticmethod
+    def _reference_loop(kp_geo, tgt_geo, ok, radius, min_neighbors, tol):
+        d = tgt_geo - kp_geo
+        idx = np.nonzero(ok)[0]
+        if len(idx) == 0:
+            return np.zeros_like(ok)
+        P = kp_geo[idx]
+        D = d[idx]
+        dist = np.linalg.norm(P[:, None, :] - P[None, :, :], axis=-1)
+        nbr = (dist <= radius) & ~np.eye(len(idx), dtype=bool)
+        keep = np.zeros(len(idx), bool)
+        for a in range(len(idx)):
+            nn = np.nonzero(nbr[a])[0]
+            if len(nn) < min_neighbors:
+                continue
+            med = np.median(D[nn], axis=0)
+            keep[a] = np.linalg.norm(D[a] - med) <= tol
+        out = np.zeros_like(ok)
+        out[idx[keep]] = True
+        return out
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_reference_loop(self, seed):
+        from diasss_tpu.matching.dense import _smooth_filter
+
+        rng = np.random.default_rng(seed)
+        K = 200
+        kp_geo = rng.uniform(0, 100, (K, 2)).astype(np.float32)
+        # smooth displacement field + a few gross outliers
+        disp = np.stack(
+            [0.02 * kp_geo[:, 0], -0.015 * kp_geo[:, 1]], axis=1
+        ).astype(np.float32)
+        out_idx = rng.choice(K, 20, replace=False)
+        disp[out_idx] += rng.uniform(-8, 8, (20, 2)).astype(np.float32)
+        tgt_geo = kp_geo + disp
+        ok = rng.uniform(size=K) > 0.25
+        cfg = DenseMatchConfig(smooth_radius=20.0, smooth_min_neighbors=2, smooth_tol=1.5)
+        got = _smooth_filter(kp_geo, tgt_geo, ok, cfg)
+        want = self._reference_loop(kp_geo, tgt_geo, ok, 20.0, 2, 1.5)
+        np.testing.assert_array_equal(got, want)
+
+    def test_empty(self):
+        from diasss_tpu.matching.dense import _smooth_filter
+
+        ok = np.zeros(8, bool)
+        got = _smooth_filter(np.zeros((8, 2)), np.zeros((8, 2)), ok, DenseMatchConfig())
+        assert not got.any()

@@ -207,3 +207,75 @@ class TestSCCxy:
             MatcherConfig(), kp_x_q=x_q, kp_x_r=jnp.asarray(x_r),
         )
         assert (np.asarray(res.corres) >= 0).sum() == K
+
+
+class TestStackedMatching:
+    """Whole-survey stacked matcher (robust_matching_stacked): identical
+    results to the per-pair robust_matching on every gated pair."""
+
+    def _fake_feats(self, rng, K=128, D=64, lo=0.0, hi=60.0):
+        from diasss_tpu.features.detector import DetectedFeatures
+
+        xy = rng.uniform(10, 400, (K, 2)).astype(np.float32)
+        desc = (rng.normal(0, 1, (K, D)) * 60).astype(np.float32)
+        valid = rng.uniform(size=K) > 0.1
+        return DetectedFeatures(
+            xy=jnp.asarray(xy),
+            response=jnp.zeros(K, jnp.float32),
+            angle=jnp.zeros(K, jnp.float32),
+            size=jnp.full((K,), 31.0, jnp.float32),
+            level=jnp.zeros(K, jnp.int32),
+            desc=jnp.asarray(desc),
+            valid=jnp.asarray(valid),
+        )
+
+    @pytest.mark.parametrize("cfg_kw", [
+        dict(ratio_test=0.9, sift_dist_bound=500.0),
+        dict(ratio_test=0.9, sift_dist_bound=500.0, cross_check=True),
+        dict(ratio_test=0.9, sift_dist_bound=500.0, scc_mode="xy"),
+    ])
+    def test_matches_per_pair_path(self, cfg_kw):
+        from diasss_tpu.geometry import sonar
+        from diasss_tpu.matching.robust import robust_matching, robust_matching_stacked
+
+        rng = np.random.default_rng(3)
+        n_pings, n_bins = 420, 64
+        gras = np.linspace(5.0, 20.0, n_bins // 2).astype(np.float32)
+        frames_geo = []
+        rows_list = []
+        feats = []
+        img_ids = [0, 1, 2]
+        for f in range(3):
+            dr = np.zeros((n_pings, 6), np.float32)
+            dr[:, 3] = np.arange(n_pings) * 0.12
+            dr[:, 4] = 8.0 * f
+            dr[:, 2] = np.pi * (f % 2)
+            geo = sonar.geo_image(
+                jnp.asarray(dr[:, 3:5]), jnp.asarray(dr[:, 2]), jnp.asarray(gras), n_bins
+            )
+            frames_geo.append(geo)
+            rows_list.append(n_pings)
+            feats.append(self._fake_feats(rng))
+        # plant shared descriptors across frames so real matches exist
+        for (i, j) in [(0, 1), (1, 2), (0, 2)]:
+            qi = rng.choice(128, 30, replace=False)
+            feats[j] = feats[j]._replace(
+                desc=feats[j].desc.at[qi].set(feats[i].desc[qi] + 1.0),
+                xy=feats[j].xy.at[qi].set(feats[i].xy[qi] + 2.0),
+            )
+        pair_ids = [(0, 1), (0, 2), (1, 2)]
+        cfg = MatcherConfig(**cfg_kw)
+        stacked = robust_matching_stacked(
+            pair_ids, img_ids, feats, frames_geo, rows_list, cfg
+        )
+        for (i, j) in pair_ids:
+            ref = robust_matching(
+                img_ids[i], img_ids[j], feats[i], feats[j],
+                frames_geo[i], frames_geo[j],
+                rows_s=rows_list[i], rows_t=rows_list[j], cfg=cfg,
+            )
+            out = stacked[(i, j)]
+            assert out.n_matches == ref.n_matches, (i, j)
+            np.testing.assert_array_equal(out.rows_s, ref.rows_s)
+            np.testing.assert_array_equal(out.rows_t, ref.rows_t)
+            assert out.consistent == ref.consistent

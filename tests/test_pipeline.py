@@ -96,3 +96,42 @@ class TestMosaic:
         # overlapping strips average: values stay in the normalized range
         vals = m[np.isfinite(m)]
         assert vals.min() >= 0.0 and vals.max() <= 255.0
+
+
+class TestReferenceDumps:
+    """Text-artifact parity (SURVEY §5 metrics row): the full reference file
+    set must be written, including the per-pair eval_2 error columns
+    (result/pr_errors/{dr,est}_{range,plane}_e_<i>.txt, optimizer.cpp:1605-1612)."""
+
+    def test_file_set_for_three_line_survey(self, small_survey, tmp_path):
+        import os
+
+        frames = [
+            build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+            for l in small_survey.lines
+        ]
+        res = run_slam(frames, PipelineConfig(), out_dir=str(tmp_path), run_eval2=True)
+        top = {
+            "annotated_kps.txt", "ini_lm_errors.txt", "fnl_lm_errors.txt",
+            "dr_range_e.txt", "dr_plane_e.txt", "est_range_e.txt", "est_plane_e.txt",
+            "depth_est_wp.txt", "depth_drape.txt",
+            "dr_poses_all.txt", "est_poses_all.txt",
+        }
+        for f in top:
+            assert (tmp_path / f).exists(), f
+        pr = tmp_path / "result" / "pr_errors"
+        for f in ["dr_range_e_avg.txt", "dr_plane_e_avg.txt",
+                  "est_range_e_avg.txt", "est_plane_e_avg.txt"]:
+            assert (pr / f).exists(), f
+        # per-pair files: one per gated pair with correspondences, in pair order
+        for idx, key in enumerate(res.pair_ids):
+            e2 = res.eval2.get(key)
+            if e2 is None or e2.n_pairs == 0:
+                continue
+            for stem in ["dr_range_e", "dr_plane_e", "est_range_e", "est_plane_e"]:
+                p = pr / f"{stem}_{idx}.txt"
+                assert p.exists(), p
+                vals = np.loadtxt(p, ndmin=1)
+                assert len(vals) == e2.n_pairs
+        an = tmp_path / "result" / "anno_errors"
+        assert any(f.startswith("dr_lm_dist_") for f in os.listdir(an))

@@ -109,3 +109,35 @@ class TestWithLoopClosures:
         poses, info = solve_pose_graph(g, PoseGraphConfig())
         dr = se3.from_rodrigues_xyz(jnp.asarray(np.concatenate([rows1, rows2]), jnp.float32))
         np.testing.assert_allclose(np.asarray(poses.t), np.asarray(dr.t), atol=3e-2)
+
+
+class TestDenseSegPreconditioner:
+    """preconditioner="dense_seg" (the TPU-auto choice) must reach the same
+    optimum as "tridiag" — it is the identical operator in MXU form."""
+
+    def test_same_fixed_point_as_tridiag(self):
+        import dataclasses
+
+        from diasss_tpu.geometry import se3 as _se3
+
+        rng = np.random.default_rng(5)
+        n = 120
+        rows = np.zeros((n, 6))
+        rows[:, 3] = np.arange(n) * 0.5
+        rows[:, 4] = 0.05 * rng.normal(size=n)
+        gt = _se3.from_rodrigues_xyz(jnp.asarray(rows, jnp.float32))
+        lc_i = np.arange(2, n - 40, 9, dtype=np.int32)
+        lc_j = (lc_i + 30).astype(np.int32)
+        meas = _se3.between(gt[jnp.asarray(lc_i)], gt[jnp.asarray(lc_j)])
+        g = build_chain_graph(
+            [rows], lc_i=lc_i, lc_j=lc_j, lc_meas=meas,
+            lc_sigmas=np.full((len(lc_i), 6), 0.05, np.float32),
+            lc_valid=np.ones(len(lc_i), bool),
+            noise_key=jax.random.PRNGKey(1),
+        )
+        cfg_t = PoseGraphConfig(max_gn_iters=10, preconditioner="tridiag", tridiag_segment=32)
+        cfg_d = dataclasses.replace(cfg_t, preconditioner="dense_seg")
+        p_t, i_t = solve_pose_graph(g, cfg_t)
+        p_d, i_d = solve_pose_graph(g, cfg_d)
+        np.testing.assert_allclose(np.asarray(p_d.t), np.asarray(p_t.t), atol=1e-3)
+        assert abs(float(i_d.error) - float(i_t.error)) < 1e-2 * max(float(i_t.error), 1.0)

@@ -53,3 +53,33 @@ def test_identity_system(rng):
     b = jnp.asarray(rng.normal(size=(P, 6)), jnp.float32)
     x = solve_block_tridiag(D, U, b)
     np.testing.assert_allclose(np.asarray(x), np.asarray(b), atol=1e-6)
+
+
+class TestDenseSegment:
+    """MXU formulation: dense per-segment inverses applied as one batched GEMM
+    must equal the cyclic-reduction segmented solve (same linear operator)."""
+
+    @pytest.mark.parametrize("P,segment", [(53, 16), (64, 64), (200, 32), (7, 16)])
+    def test_matches_cyclic_reduction(self, P, segment):
+        from diasss_tpu.solvers.tridiag import (
+            apply_dense_segment_inverses,
+            dense_segment_inverses,
+            solve_block_tridiag_segmented,
+        )
+
+        rng = np.random.default_rng(0)
+        A = rng.normal(size=(P, 6, 6)).astype(np.float32)
+        D = jnp.asarray(A @ A.transpose(0, 2, 1) + 6 * np.eye(6, dtype=np.float32))
+        U = jnp.asarray(0.3 * rng.normal(size=(max(P - 1, 0), 6, 6)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(P, 6)).astype(np.float32))
+        ref = solve_block_tridiag_segmented(D, U, b, segment)
+        Minv = dense_segment_inverses(D, U, segment)
+        out = apply_dense_segment_inverses(Minv, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-6)
+
+    def test_auto_segment_shrinks_with_chain_length(self):
+        from diasss_tpu.solvers.tridiag import auto_dense_segment
+
+        assert auto_dense_segment(3_000, 256) == 256
+        assert auto_dense_segment(100_000, 256) <= 64
+        assert auto_dense_segment(1_000_000, 256) >= 8
