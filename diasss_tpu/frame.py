@@ -65,13 +65,14 @@ def filtered_mask(raw: jnp.ndarray, cfg: MaskConfig = MaskConfig()) -> jnp.ndarr
       3. the first/last ``side`` pings,
       4. the left/right ``side*0.6`` columns.
 
-    Deviation from the reference: the border suppressions (rules 3-4) are
-    clamped to at most a quarter of the image per side.  The reference's fixed
-    150-ping / 90-col margins are tuned for its ~5k-ping survey lines
-    (frame.cpp:86) and are unchanged at that scale, but applied verbatim to a
-    short line they mask EVERY pixel (e.g. 2*150 >= a 200-ping image), leaving
-    the detected-feature path with zero keypoints — a degenerate case the
-    reference never hits, guarded here.
+    Deviation from the reference: the border suppressions (rules 3-4) keep the
+    reference's fixed margins (150 pings / 90 cols, frame.cpp:86) whenever they
+    leave at least a quarter of the dimension usable — i.e. behavior is
+    unchanged at and near reference scale (~5k-ping lines).  Applied verbatim
+    to a short line those margins mask EVERY pixel (e.g. 2*150 >= a 200-ping
+    image), leaving the detected-feature path with zero keypoints — a
+    degenerate case the reference never hits; only then is the margin clamped
+    to a quarter of the image per side (half remains usable).
     """
     raw = raw.astype(jnp.float32)
     n, m = raw.shape
@@ -88,9 +89,12 @@ def filtered_mask(raw: jnp.ndarray, cfg: MaskConfig = MaskConfig()) -> jnp.ndarr
     rows = jnp.arange(n)[:, None]
     cols = jnp.arange(m)[None, :]
     center = (cols > m // 2 - cfg.center_width) & (cols < m // 2 + cfg.center_width)
-    side_p = min(cfg.side_pings, n // 4)
+    def clamped_margin(ref_margin: int, dim: int) -> int:
+        return ref_margin if dim - 2 * ref_margin >= dim // 4 else dim // 4
+
+    side_p = clamped_margin(cfg.side_pings, n)
     turn = (rows < side_p) | (rows > n - side_p)
-    side_c = min(int(cfg.side_pings * cfg.side_cols_frac), m // 4)
+    side_c = clamped_margin(int(cfg.side_pings * cfg.side_cols_frac), m)
     sides = (cols < side_c) | (cols > m - side_c)
     return ~(dilated | center | turn | sides)
 

@@ -13,7 +13,7 @@ from scipy.optimize import least_squares
 import jax
 import jax.numpy as jnp
 
-from diasss_tpu.config import KeypointNoiseConfig, LoopClosureConfig
+from diasss_tpu.config import KeypointNoiseConfig, LoopClosureConfig, PoseGraphConfig
 from diasss_tpu.geometry import se3, so3, sonar
 from diasss_tpu.solvers.lc import loop_closing_tfs
 
@@ -146,3 +146,270 @@ class TestLCvsScipy:
         rel_ours = np.asarray(res.rel_pose.t[0])
         t2_ours = t_s + np.asarray(_np_exp(dr_s[id_s, :3])) @ rel_ours
         np.testing.assert_allclose(t2_ours, t2_scipy, atol=0.15)
+
+
+def _tangent_resid_pose_graph(graph):
+    """Residual over the (P,6) tangent at poses0 (gauge: row 0 pinned), plus
+    its analytic Jacobian via jax — fed to scipy's INDEPENDENT optimizer."""
+    from diasss_tpu.solvers.pose_graph import _whitened_residuals
+
+    P = graph.poses0.t.shape[0]
+
+    def resid_jnp(x):
+        xi = x.reshape(P, 6).at[0].set(0.0)
+        poses = se3.retract(graph.poses0, xi)
+        r_odo, r_lc = _whitened_residuals(poses, graph)
+        return jnp.concatenate([r_odo.ravel(), r_lc.ravel()])
+
+    resid_j = jax.jit(resid_jnp)
+    jac_j = jax.jit(jax.jacfwd(resid_jnp))
+
+    def resid(x):
+        return np.asarray(resid_j(jnp.asarray(x, jnp.float32)), float)
+
+    def jac(x):
+        return np.asarray(jac_j(jnp.asarray(x, jnp.float32)), float)
+
+    return resid, jac, P
+
+
+def _make_pose_graph(P=14, n_lc=3, seed=0):
+    """Drifted chain + ground-truth-consistent loop closures."""
+    from diasss_tpu.solvers.pose_graph import build_chain_graph
+
+    rng = np.random.default_rng(seed)
+    gt = np.zeros((P, 6), np.float32)
+    gt[:, 3] = np.arange(P) * 1.0
+    gt[:, 4] = 0.1 * np.sin(np.arange(P))
+    dr = gt.copy()
+    dr[:, 3] += np.cumsum(rng.normal(0, 0.05, P)).astype(np.float32)
+    dr[:, 4] += np.cumsum(rng.normal(0, 0.05, P)).astype(np.float32)
+    dr[0] = gt[0]
+
+    gt_poses = se3.from_rodrigues_xyz(jnp.asarray(gt))
+    li = np.asarray([1, P // 2, 2], np.int32)[:n_lc]
+    lj = np.asarray([P - 2, P - 1, P // 2 + 1], np.int32)[:n_lc]
+    lc_meas = se3.between(gt_poses[jnp.asarray(li)], gt_poses[jnp.asarray(lj)])
+    lc_sigmas = np.full((n_lc, 6), 0.05, np.float32)
+    graph = build_chain_graph(
+        [dr], lc_i=li, lc_j=lj, lc_meas=lc_meas, lc_sigmas=lc_sigmas,
+        lc_valid=np.ones(n_lc, bool), cfg=PoseGraphConfig(), noise_key=None,
+    )
+    return graph
+
+
+class TestPoseGraphVsScipy:
+    def test_same_fixed_point(self):
+        """solve_pose_graph and scipy TRF reach the same optimum of the
+        identical whitened residual (SURVEY §7: iSAM2 semantics without iSAM2)."""
+        from diasss_tpu.solvers.pose_graph import graph_error, solve_pose_graph
+
+        graph = _make_pose_graph()
+        cfg = PoseGraphConfig(max_gn_iters=60)
+        poses_ours, info = solve_pose_graph(graph, cfg)
+        cost_ours = float(info.error)
+
+        resid, jac, P = _tangent_resid_pose_graph(graph)
+        out = least_squares(resid, np.zeros(P * 6), jac=jac, method="trf",
+                            xtol=1e-12, ftol=1e-12, gtol=1e-12)
+        cost_scipy = float(out.cost)
+
+        # identical fixed-point cost (both solve the same LSQ problem)
+        assert cost_ours <= cost_scipy * 1.02 + 1e-6, (cost_ours, cost_scipy)
+        assert cost_scipy <= cost_ours * 1.02 + 1e-6, (cost_ours, cost_scipy)
+
+        # identical pose estimates
+        xi = jnp.asarray(out.x.reshape(P, 6), jnp.float32).at[0].set(0.0)
+        poses_scipy = se3.retract(graph.poses0, xi)
+        np.testing.assert_allclose(
+            np.asarray(poses_ours.t), np.asarray(poses_scipy.t), atol=2e-2
+        )
+        # and scipy's solution evaluated by OUR error function matches too
+        assert abs(float(graph_error(poses_scipy, graph)) - cost_scipy) < 1e-3
+
+
+def _make_ba_problem(seed=0):
+    """Two anti-parallel survey lines over abeam landmarks, cross-track drift
+    on line 2 — the case two-stage cannot observe but full BA must correct."""
+    from diasss_tpu.solvers.full_ba import BAProblem
+    from diasss_tpu.solvers.pose_graph import build_chain_graph
+
+    rng = np.random.default_rng(seed)
+    n = 10
+    z_p = 0.0
+    # GT line 1: along +x at y=0; GT line 2: along -x at y=18 (yaw pi)
+    gt1 = np.zeros((n, 6), np.float32)
+    gt1[:, 3] = np.arange(n) * 2.0
+    gt2 = np.zeros((n, 6), np.float32)
+    gt2[:, 2] = np.pi
+    gt2[:, 3] = (n - 1 - np.arange(n)) * 2.0
+    gt2[:, 4] = 18.0
+    gt = np.concatenate([gt1, gt2])
+
+    # landmarks abeam of ping k on both lines: (x_k, y_l, z)
+    K = 6
+    ks = rng.choice(np.arange(1, n - 1), K, replace=False)
+    lx = ks * 2.0
+    ly = np.full(K, 9.0)
+    lz = np.full(K, -12.0)
+    lms_gt = np.stack([lx, ly, lz], axis=1)
+
+    def slant(px, py, pz, l):
+        return float(np.sqrt((l[0] - px) ** 2 + (l[1] - py) ** 2 + (l[2] - pz) ** 2))
+
+    sr_s = np.asarray([slant(gt1[k, 3], 0.0, z_p, l) for k, l in zip(ks, lms_gt)], np.float32)
+    # line 2 pose at x_k is ping index (n-1-k)
+    sr_t = np.asarray([slant(lx[i], 18.0, z_p, lms_gt[i]) for i in range(K)], np.float32)
+
+    # DR: line 2 drifts cross-track gradually (the unobservable-by-two-stage
+    # error); the drift accumulates along the chain like real DR error does,
+    # so with a matched odometry noise model correcting it is the optimum
+    dr = gt.copy()
+    dr[n:, 4] += np.linspace(0.15, 1.5, n, dtype=np.float32)
+    dr[n:, 3] += np.linspace(0.08, 0.8, n, dtype=np.float32)
+
+    kp_i = jnp.asarray(ks, jnp.int32)
+    kp_j = jnp.asarray(n + (n - 1 - ks), jnp.int32)
+
+    chain = build_chain_graph(
+        [dr[:n], dr[n:]],
+        lc_i=np.zeros(1, np.int32), lc_j=np.ones(1, np.int32),
+        lc_meas=se3.identity((1,), jnp.float32),
+        lc_sigmas=np.ones((1, 6), np.float32), lc_valid=np.zeros(1, bool),
+        # odometry noise scaled to the injected per-step drift (0.15 m/step):
+        # a 10-ping test line compresses the drift of thousands of real pings
+        cfg=PoseGraphConfig(odo_sigma_x=0.15, odo_sigma_y=0.15), noise_key=None,
+    )
+    # landmark inits: midpoints of the DR geo projections, flat-floor z
+    lm0 = lms_gt + rng.normal(0, 0.5, lms_gt.shape)
+    prob = BAProblem(
+        poses0=chain.poses0,
+        odo_meas=chain.odo_meas,
+        odo_sigmas=chain.odo_sigmas,
+        kp_i=kp_i,
+        kp_j=kp_j,
+        kp_sr_s=jnp.asarray(sr_s),
+        kp_sr_t=jnp.asarray(sr_t),
+        kp_valid=jnp.ones(K, bool),
+        lm0=jnp.asarray(lm0, jnp.float32),
+        lm_prior=jnp.asarray(lm0, jnp.float32),
+        lm_prior_sigmas=jnp.asarray([50.0, 50.0, 1.5], jnp.float32),
+    )
+    return prob, gt, lms_gt
+
+
+def _tangent_resid_ba(prob, kp_cfg):
+    """Residual over (pose tangent, landmark) params — same whitening and
+    gauge as solve_full_ba, huber off."""
+    from diasss_tpu.factors.sss_point import kp_noise_sigmas, sss_point_residual
+    from diasss_tpu.factors.between import between_residual
+
+    P = prob.poses0.t.shape[0]
+    K = prob.lm0.shape[0]
+    Ts = se3.identity(dtype=jnp.float32)
+
+    def resid_jnp(x):
+        xi = x[: P * 6].reshape(P, 6).at[0].set(0.0)
+        lms = prob.lm0 + x[P * 6 :].reshape(K, 3)
+        poses = se3.retract(prob.poses0, xi)
+        r_odo = jax.vmap(between_residual)(
+            poses[jnp.arange(P - 1)], poses[jnp.arange(1, P)], prob.odo_meas
+        ) / prob.odo_sigmas
+
+        def kp_res(pose, lm, sr):
+            m = jnp.stack([sr, jnp.zeros_like(sr)])
+            sig = kp_noise_sigmas(sr, kp_cfg.sigma_r, kp_cfg.alpha_bw_deg)
+            return sss_point_residual(lm, pose, Ts, m) / sig
+
+        r_s = jax.vmap(kp_res)(poses[prob.kp_i], lms, prob.kp_sr_s)
+        r_t = jax.vmap(kp_res)(poses[prob.kp_j], lms, prob.kp_sr_t)
+        r_pr = (lms - prob.lm_prior) / prob.lm_prior_sigmas
+        return jnp.concatenate([r_odo.ravel(), r_s.ravel(), r_t.ravel(), r_pr.ravel()])
+
+    resid_j = jax.jit(resid_jnp)
+    jac_j = jax.jit(jax.jacfwd(resid_jnp))
+
+    def resid(x):
+        return np.asarray(resid_j(jnp.asarray(x, jnp.float32)), float)
+
+    def jac(x):
+        return np.asarray(jac_j(jnp.asarray(x, jnp.float32)), float)
+
+    return resid, jac, P, K
+
+
+class TestFullBAVsScipy:
+    def test_same_fixed_point(self):
+        """solve_full_ba and scipy TRF agree on the joint pose+landmark optimum,
+        and both improve on DR identically."""
+        from diasss_tpu.config import FullBAConfig
+        from diasss_tpu.solvers.full_ba import _ba_error, solve_full_ba
+
+        prob, gt, lms_gt = _make_ba_problem()
+        kp_cfg = KeypointNoiseConfig()
+        cfg = FullBAConfig(huber_delta=0.0, max_iters=60)
+        poses_ours, lms_ours, info = solve_full_ba(prob, cfg, kp_cfg)
+        cost_ours = float(info.error)
+
+        resid, jac, P, K = _tangent_resid_ba(prob, kp_cfg)
+        out = least_squares(resid, np.zeros(P * 6 + K * 3), jac=jac, method="trf",
+                            xtol=1e-14, ftol=1e-14, gtol=1e-14)
+        cost_scipy = float(out.cost)
+        assert cost_ours <= cost_scipy * 1.05 + 1e-5, (cost_ours, cost_scipy)
+        assert cost_scipy <= cost_ours * 1.05 + 1e-5, (cost_ours, cost_scipy)
+
+        xi = jnp.asarray(out.x[: P * 6].reshape(P, 6), jnp.float32).at[0].set(0.0)
+        poses_scipy = se3.retract(prob.poses0, xi)
+        np.testing.assert_allclose(
+            np.asarray(poses_ours.t), np.asarray(poses_scipy.t), atol=0.1
+        )
+        # both must improve on DR by the SAME amount (parallel-line range-only
+        # geometry leaves a partial y/z gauge freedom, so full recovery is not
+        # the optimum here — crossing-line recovery is covered in test_full_ba)
+        err_dr = np.abs(np.asarray(prob.poses0.t)[10:, 1] - gt[10:, 4]).mean()
+        err_ours = np.abs(np.asarray(poses_ours.t)[10:, 1] - gt[10:, 4]).mean()
+        err_scipy = np.abs(np.asarray(poses_scipy.t)[10:, 1] - gt[10:, 4]).mean()
+        assert err_dr > 0.8
+        assert err_ours < err_dr
+        assert abs(err_ours - err_scipy) < 0.1
+
+    def test_marginal_variances_vs_dense_inverse(self):
+        """estimate_pose_variances (Hutchinson + PCG on the Schur complement)
+        against the exact dense marginal covariance diag of the full GN
+        Hessian (landmarks marginalized by full inversion)."""
+        from diasss_tpu.config import FullBAConfig
+        from diasss_tpu.solvers.full_ba import estimate_pose_variances, solve_full_ba
+
+        prob, _, _ = _make_ba_problem()
+        kp_cfg = KeypointNoiseConfig()
+        cfg = FullBAConfig(huber_delta=0.0, max_iters=60)
+        poses, lms, _ = solve_full_ba(prob, cfg, kp_cfg)
+
+        var = np.asarray(
+            estimate_pose_variances(
+                prob, poses, lms, jax.random.PRNGKey(0), cfg, kp_cfg, n_probes=512
+            )
+        )
+
+        # dense reference: full GN Hessian at the solution, invert, marginalize.
+        # prob_at.lm0=lms / poses0=poses so x=0 IS the solution; lm_prior keeps
+        # the original centers (prior Jacobian is center-independent anyway)
+        prob_at = prob._replace(poses0=poses, lm0=lms)
+        resid2, jac2, P, K = _tangent_resid_ba(prob_at, kp_cfg)
+        J = jac2(np.zeros(P * 6 + K * 3))
+        H = J.T @ J
+        # gauge: pose 0 fixed -> delete its 6 rows/cols
+        keep = np.r_[np.arange(6, P * 6), np.arange(P * 6, P * 6 + K * 3)]
+        H = H[np.ix_(keep, keep)]
+        cov = np.linalg.inv(H + 1e-8 * np.eye(len(H)))
+        var_ref = np.zeros((P, 6))
+        var_ref[1:] = np.diag(cov)[: (P - 1) * 6].reshape(P - 1, 6)
+
+        # Compare entries the f32 PCG can resolve (rotation variances with the
+        # reference's 0.001-deg odometry sigmas are ~1e-9 — below the solve
+        # tolerance).  Hutchinson with 512 probes adds ~sqrt(2/512)~6% noise.
+        m = var_ref > 1e-6
+        assert m.sum() >= 40  # all translation entries of poses 1..P-1
+        rel = np.abs(var[m] - var_ref[m]) / var_ref[m]
+        assert np.median(rel) < 0.2, np.median(rel)
+        assert rel.max() < 0.6, rel.max()
