@@ -58,8 +58,6 @@ def main(argv=None) -> int:
     import dataclasses
 
     from .config import PipelineConfig
-    from .frame import build_keyframe
-    from .io import load_input_data
     from .pipeline import run_slam
 
     if args.auto:
@@ -88,25 +86,31 @@ def main(argv=None) -> int:
             pose_graph=PoseGraphConfig(use_anno=False),
         )
 
+    # pipelined load: line k+1's XML/txt parse overlaps line k's on-device
+    # preprocessing + detection (PP — parallel/prefetch.py; the reference's
+    # stage chain is strictly serial, diasss2.cpp:76-101)
+    from .parallel.prefetch import load_keyframes_pipelined
+
     t0 = time.perf_counter()
-    data = load_input_data(args.image, args.pose, args.altitude, args.groundrange, args.annotation)
-    print(f"loaded {len(data.images)} survey lines ({time.perf_counter()-t0:.2f}s)")
-    for i, img in enumerate(data.images):
-        print(f"  image size: {img.shape[0]} {img.shape[1]}")
+    use_anno = pipe_cfg.pose_graph.use_anno
+    frames, feats, load_timings = load_keyframes_pipelined(
+        args.image, args.pose, args.altitude, args.groundrange, args.annotation,
+        detector_cfg=None if use_anno else pipe_cfg.detector,
+    )
+    wall = time.perf_counter() - t0
+    print(
+        f"loaded {len(frames)} survey lines pipelined: wall {wall:.2f}s, "
+        f"host parse {load_timings['load_host_parse']:.2f}s"
+        + ("" if use_anno else " (detection dispatched inline)")
+    )
+    for f in frames:
+        print(f"  image size: {f.raw.shape[0]} {f.raw.shape[1]}")
 
     gt_rows = None
     if args.gt:
         import os
 
         gt_rows = [np.loadtxt(os.path.join(args.gt, f)) for f in sorted(os.listdir(args.gt))]
-
-    t0 = time.perf_counter()
-    frames = [
-        build_keyframe(i, data.images[i], data.poses[i], data.altitudes[i],
-                       data.ground_ranges[i], data.annotations[i])
-        for i in range(len(data.images))
-    ]
-    print(f"keyframes built ({time.perf_counter()-t0:.2f}s)")
 
     t0 = time.perf_counter()
     if args.trace:
@@ -117,6 +121,7 @@ def main(argv=None) -> int:
                 gt_rows_list=gt_rows,
                 out_dir=args.out,
                 run_eval2=not args.no_eval2,
+                feats=feats,
             )
         print(f"profiler trace written to {args.trace}")
     else:
@@ -126,7 +131,9 @@ def main(argv=None) -> int:
             gt_rows_list=gt_rows,
             out_dir=args.out,
             run_eval2=not args.no_eval2,
+            feats=feats,
         )
+    result.timings.update(load_timings)
     print(f"SLAM solved ({time.perf_counter()-t0:.2f}s)")
 
     print(f"pairs: {result.pair_ids}; loop closures accepted: {result.n_lc_accepted}")

@@ -228,3 +228,17 @@ class OnlineSlam:
 
     def frame_poses(self, f: int) -> se3.Pose3:
         return self.state.poses[self.state.frame_slices[f]]
+
+    def run_stream(self, frame_thunks, depth: int = 2):
+        """Stream frames with pipeline overlap (PP): a background producer
+        builds the NEXT arriving keyframe's host arrays while the current
+        frame's detection/matching/solve runs.  Each thunk returns the
+        ``build_keyframe`` argument tuple ``(img_id, image, dr_poses,
+        altitudes, ground_ranges, annos)``; yields the pose estimate after
+        each frame (same results as sequential ``add_frame`` calls).
+        """
+        from .frame import build_keyframe
+        from .parallel.prefetch import prefetch_iter
+
+        for args in prefetch_iter(frame_thunks, depth=depth):
+            yield self.add_frame(build_keyframe(*args))

@@ -401,6 +401,7 @@ def run_slam(
     gt_rows_list: Optional[List[np.ndarray]] = None,
     out_dir: Optional[str] = None,
     run_eval2: bool = True,
+    feats: Optional[list] = None,
 ) -> SlamResult:
     timings: Dict[str, float] = {}
     t0 = time.perf_counter()
@@ -409,10 +410,11 @@ def run_slam(
     pair_ids = _overlap_pairs(frames, cfg.min_overlap)
     timings["overlap_gate"] = time.perf_counter() - t0
 
-    # --- detection (C6/C7), once — keypoints do not depend on poses ---
+    # --- detection (C6/C7), once — keypoints do not depend on poses.
+    # ``feats`` may be passed in precomputed (parallel/prefetch.py overlaps
+    # detection dispatch with the host-side load of the next line — the PP row)
     use_anno = cfg.pose_graph.use_anno
-    feats = None
-    if not use_anno:
+    if not use_anno and feats is None:
         from .features import detect_features
 
         t0 = time.perf_counter()
