@@ -8,9 +8,11 @@ axis across the whole mesh (DP), pose-chain factor arrays shard for SP, and
 XLA places the collectives — psum-style gradient reductions ride ICI within a
 slice and DCN across hosts.
 
-This machine exposes a single chip, so multi-host paths cannot be exercised
-here; they are structured so a pod run only needs the standard coordinator
-environment (or explicit arguments).
+The multi-process path is exercised for real on this machine by
+:mod:`.multihost_check` (two OS processes, Gloo collectives on CPU, one global
+8-device mesh, sequence-parallel solve across the process boundary — run by
+``tests/test_multihost.py``); a pod run only needs the standard coordinator
+environment (or explicit arguments) and the same code rides ICI/DCN.
 """
 
 from __future__ import annotations
