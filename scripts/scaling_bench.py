@@ -28,6 +28,10 @@ import time
 parser = argparse.ArgumentParser()
 parser.add_argument("--pings", type=int, default=512)
 parser.add_argument("--lc", type=int, default=1024)
+parser.add_argument("--seq-poses", type=int, default=131072,
+                    help="pose count for the sequence-parallel long-mission point "
+                         "(0 disables); 131072 ~ a 26-line x 5k-ping mission")
+parser.add_argument("--skip-lc-sweep", action="store_true")
 args = parser.parse_args()
 
 flags = os.environ.get("XLA_FLAGS", "")
@@ -71,8 +75,59 @@ valid = np.ones(K, bool)
 
 print("NOTE: virtual CPU mesh — devices share physical cores; this validates the")
 print("sharded program, it does not measure real multi-chip scaling (see docstring).")
+
+# --------------------------------------------------------------------------
+# Long-mission sequence-parallel point (VERDICT r1 item 2's done criterion):
+# a pose count that chokes the replicated-chain solver runs under the SP
+# solver with O(P/n)+halo per-device pose memory.  Iterations are capped —
+# this measures the partitioned LM/PCG machinery's throughput, not
+# convergence (equivalence with the single-device fixed point is
+# tests/test_seq_parallel.py's job).
+# --------------------------------------------------------------------------
+if args.seq_poses:
+    from diasss_tpu.config import PoseGraphConfig
+    from diasss_tpu.geometry import se3
+    from diasss_tpu.parallel.seq import seq_pose_graph_solve
+    from diasss_tpu.solvers.pose_graph import PoseGraph
+
+    Pn = args.seq_poses
+    step = np.zeros((Pn - 1, 6), np.float32)  # (r,p,y,x,y,z) rows
+    step[:, 3] = 0.35
+    step[:, 2] = rng.normal(0, 0.002, Pn - 1)
+    t = np.zeros((Pn, 6), np.float32)
+    t[1:, 3] = np.cumsum(step[:, 3])
+    Lc = max(8, Pn // 4096)
+    lc_i = rng.integers(1, Pn // 2, Lc).astype(np.int32)
+    lc_j = (lc_i + Pn // 3).astype(np.int32)
+    lc_rows = np.zeros((Lc, 6), np.float32)
+    lc_rows[:, 3:6] = t[lc_j, 3:6] - t[lc_i, 3:6]
+    graph = PoseGraph(
+        poses0=se3.from_rodrigues_xyz(jnp.asarray(t)),
+        odo_meas=se3.from_rodrigues_xyz(jnp.asarray(step)),
+        odo_sigmas=jnp.full((6,), 0.05, jnp.float32),
+        lc_i=jnp.asarray(lc_i), lc_j=jnp.asarray(lc_j),
+        lc_meas=se3.from_rodrigues_xyz(jnp.asarray(lc_rows)),
+        lc_sigmas=jnp.full((Lc, 6), 0.05, jnp.float32),
+        lc_valid=jnp.ones((Lc,), bool),
+    )
+    mesh = make_mesh(8)
+    cfg = PoseGraphConfig(max_gn_iters=3, cg_max_iters=25)
+    poses, info = seq_pose_graph_solve(mesh, graph, cfg)
+    jax.block_until_ready(poses.t)  # compile + first run
+    t0 = time.perf_counter()
+    poses, info = seq_pose_graph_solve(mesh, graph, cfg)
+    jax.block_until_ready(poses.t)
+    dt = time.perf_counter() - t0
+    per_dev = Pn // 8
+    print(
+        f"SP long-mission: {Pn:,} poses on 8 devices ({per_dev:,}/device), "
+        f"{Lc} LCs, {int(info.iterations)} LM iters ({int(info.cg_iters_total)} CG): "
+        f"{dt:.1f} s  ({Pn / dt:,.0f} poses/s per solve)"
+    )
+
 results = {}
-for n_dev in [1, 2, 4, 8]:
+lc_sweep = [] if args.skip_lc_sweep else [1, 2, 4, 8]
+for n_dev in lc_sweep:
     mesh = make_mesh(n_dev)
     cfg = LoopClosureConfig(max_lm_iters=20)
 
