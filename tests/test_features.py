@@ -214,3 +214,34 @@ class TestOrbDescriptor:
                              orb_dist_bound=110.0, orb_dist_bound_cross=110.0)
         res = robust_matching(0, 1, feats[0], feats[1], frames[0].geo, frames[1].geo, 400, 400, mcfg)
         assert res.n_matches >= 1, res
+
+
+class TestStackedDetectorParity:
+    """The single-program stacked layout must return bit-identical valid
+    keypoints/descriptors to the per-level layout (detector.py docstring)."""
+
+    def test_stacked_equals_per_level(self):
+        rng = np.random.default_rng(3)
+        img = rng.rayleigh(20.0, (401, 250))  # odd sizes: pyramid rounding paths
+        for (y, x) in [(200, 120), (120, 180), (300, 60), (60, 130), (350, 200)]:
+            ys, xs = np.mgrid[y - 3 : y + 4, x - 3 : x + 4]
+            img[y - 3 : y + 4, x - 3 : x + 4] += 150 * np.exp(
+                -((ys - y) ** 2 + (xs - x) ** 2) / 4.0
+            )
+        norm = jnp.asarray(np.clip(img / img.max() * 255, 0, 255))
+        cfg = DetectorConfig(n_features=400)
+        a = detect_features(norm, None, cfg, stacked=True)
+        b = detect_features(norm, None, cfg, stacked=False)
+        va, vb = np.asarray(a.valid), np.asarray(b.valid)
+        np.testing.assert_array_equal(va, vb)
+        for f in ("xy", "response", "angle", "size", "level"):
+            fa = np.asarray(getattr(a, f))[va]
+            fb = np.asarray(getattr(b, f))[vb]
+            np.testing.assert_array_equal(fa, fb, err_msg=f)
+        # descriptors: the SIFT einsum's batch dim differs (k_max vs k_level),
+        # so XLA tiles the S=1024 contraction differently -> float-tolerance
+        # equality, not bit equality (desc values are OpenCV-scaled to ~512)
+        np.testing.assert_allclose(
+            np.asarray(a.desc)[va], np.asarray(b.desc)[vb], rtol=0, atol=5e-3,
+            err_msg="desc",
+        )
