@@ -17,14 +17,19 @@ Supports every pipeline configuration:
   (``PipelineConfig.estimator``) — so ``OnlineSlam(automatic_config())`` is
   streaming ZERO-annotation SLAM, beyond the reference's capability.
 
-Static-shape strategy: pose capacity is pre-allocated per frame count; each
-``add_frame`` re-runs the jitted solver at the new (P, K) shape.  For surveys
-with equal-length lines every step reuses one compiled program per frame count
-(shapes grow deterministically), and warm starting cuts LM iterations ~3-10x
-versus cold solves.  (``PipelineConfig.rematch_iters`` is a batch-mode knob;
-online, drift compensation happens naturally because each new frame is matched
-against geo already implied by DR — re-matching *past* pairs against estimated
-geo is available by re-running the batch pipeline over the collected frames.)
+Static-shape strategy: solver shapes are **bucketed** to power-of-two
+capacities (``bucket=True``, default): the pose chain is padded with
+identity-measurement leaf factors that repeat the last pose (zero residual,
+no effect on the real poses' optimum) and the LC/correspondence axes with
+``valid=False`` rows, so frame n+1 usually re-enters the XLA executable
+compiled for frame n instead of recompiling at every new exact ``(P, K)``
+(the iSAM2 stream never recompiles anything — this is the XLA-semantics
+answer to its incremental cost profile).  Warm starting cuts LM iterations
+~3-10x versus cold solves.  (``PipelineConfig.rematch_iters`` is a batch-mode
+knob; online, drift compensation happens naturally because each new frame is
+matched against geo already implied by DR — re-matching *past* pairs against
+estimated geo is available by re-running the batch pipeline over the
+collected frames.)
 """
 
 from __future__ import annotations
@@ -45,6 +50,36 @@ from .solvers.lc import loop_closing_tfs
 from .solvers.pose_graph import build_chain_graph, solve_pose_graph
 
 
+def bucket_capacity(n: int, base: int = 256) -> int:
+    """Smallest power-of-two >= n (>= base).  Solver shapes are padded to
+    bucket capacities so consecutive ``add_frame`` calls reuse compiled
+    programs (compile ~10-60 s >> one warm-started solve)."""
+    cap = base
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def _tree_cat(a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.concatenate([x, y]), a, b)
+
+
+def _pad_chain_to(poses0: se3.Pose3, odo_meas: se3.Pose3, p_cap: int):
+    """Pad a pose chain to ``p_cap`` poses by repeating the LAST pose joined
+    with identity odometry measurements — zero-residual leaf factors that do
+    not move the real poses' optimum."""
+    p = int(poses0.t.shape[0])
+    if p_cap <= p:
+        return poses0, odo_meas
+    padn = p_cap - p
+    last = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[p - 1 : p], (padn, *x.shape[1:])), poses0
+    )
+    return _tree_cat(poses0, last), _tree_cat(
+        odo_meas, se3.identity((padn,), poses0.t.dtype)
+    )
+
+
 @dataclasses.dataclass
 class OnlineState:
     frames: List[Keyframe]
@@ -63,8 +98,9 @@ class OnlineSlam:
             est = slam.add_frame(build_keyframe(...))  # poses after this frame
     """
 
-    def __init__(self, cfg: PipelineConfig = PipelineConfig()):
+    def __init__(self, cfg: PipelineConfig = PipelineConfig(), bucket: bool = True):
         self.cfg = cfg
+        self.bucket = bucket
         self.state = OnlineState(frames=[], poses=None, frame_slices=[], n_lc=0)
         self._feats: List = []  # detected features per frame (use_anno=False)
         # frame idx -> [(ref_img_id, corres rows)], the _match_pairs layout
@@ -126,11 +162,36 @@ class OnlineSlam:
             R0 = prob.poses0.R.at[:prev_P].set(st.poses.R)
             t0 = prob.poses0.t.at[:prev_P].set(st.poses.t)
             prob = prob._replace(poses0=se3.Pose3(R0, t0))
+        p_real = int(prob.poses0.t.shape[0])
+        if self.bucket:
+            prob = self._pad_ba_problem(prob)
         poses, _, info = solve_full_ba(prob, ba_cfg, cfg.kp_noise)
-        st.poses = poses
+        st.poses = poses[:p_real]
         st.n_lc = int(np.asarray(prob.kp_valid).sum())
         self._last_info = info
-        return poses
+        return st.poses
+
+    def _pad_ba_problem(self, prob):
+        """Bucket the pose (P) and correspondence (K) axes (class docstring)."""
+        p_cap = bucket_capacity(int(prob.poses0.t.shape[0]))
+        k = int(prob.kp_i.shape[0])
+        k_cap = bucket_capacity(k, base=64)
+        poses0, odo_meas = _pad_chain_to(prob.poses0, prob.odo_meas, p_cap)
+
+        def zpad(a, fill):
+            if k_cap <= k:
+                return a
+            return jnp.concatenate(
+                [a, jnp.full((k_cap - k, *a.shape[1:]), fill, a.dtype)]
+            )
+
+        return prob._replace(
+            poses0=poses0, odo_meas=odo_meas,
+            kp_i=zpad(prob.kp_i, 0), kp_j=zpad(prob.kp_j, 0),
+            kp_sr_s=zpad(prob.kp_sr_s, 1.0), kp_sr_t=zpad(prob.kp_sr_t, 1.0),
+            kp_valid=zpad(prob.kp_valid, False),
+            lm0=zpad(prob.lm0, 0.0), lm_prior=zpad(prob.lm_prior, 0.0),
+        )
 
     # --- two-stage estimation: LC mini-solves for new pairs + pose graph ---
     def _solve_two_stage(self, pair_ids, new_pairs, offsets) -> se3.Pose3:
@@ -192,21 +253,20 @@ class OnlineSlam:
                 )
 
         dr_rows = [np.asarray(f.dr_poses) for f in st.frames]
-        if self._accepted:
-            lc_i = np.asarray([a[0] for a in self._accepted], np.int32)
-            lc_j = np.asarray([a[1] for a in self._accepted], np.int32)
-            lc_meas = se3.Pose3(
-                jnp.asarray(np.stack([a[2] for a in self._accepted])),
-                jnp.asarray(np.stack([a[3] for a in self._accepted])),
-            )
-            lc_sigmas = np.stack([a[4] for a in self._accepted]).astype(np.float32)
-            lc_valid = np.ones(len(self._accepted), bool)
-        else:
-            lc_i = np.zeros(1, np.int32)
-            lc_j = np.asarray([min(1, offsets[-1] - 1)], np.int32)
-            lc_meas = se3.identity((1,), jnp.float32)
-            lc_sigmas = np.ones((1, 6), np.float32)
-            lc_valid = np.zeros(1, bool)
+        l_real = max(len(self._accepted), 1)
+        l_cap = bucket_capacity(l_real, base=16) if self.bucket else l_real
+        lc_i = np.zeros(l_cap, np.int32)
+        lc_j = np.full(l_cap, min(1, offsets[-1] - 1), np.int32)
+        lc_sigmas = np.ones((l_cap, 6), np.float32)
+        lc_valid = np.zeros(l_cap, bool)
+        Rm = np.broadcast_to(np.eye(3, dtype=np.float32), (l_cap, 3, 3)).copy()
+        tm = np.zeros((l_cap, 3), np.float32)
+        for k, a in enumerate(self._accepted):
+            lc_i[k], lc_j[k] = a[0], a[1]
+            Rm[k], tm[k] = a[2], a[3]
+            lc_sigmas[k] = a[4]
+            lc_valid[k] = True
+        lc_meas = se3.Pose3(jnp.asarray(Rm), jnp.asarray(tm))
 
         graph = build_chain_graph(
             dr_rows, lc_i=lc_i, lc_j=lc_j, lc_meas=lc_meas,
@@ -220,11 +280,17 @@ class OnlineSlam:
             t0 = graph.poses0.t.at[:prev_P].set(st.poses.t)
             graph = graph._replace(poses0=se3.Pose3(R0, t0))
 
+        p_real = int(graph.poses0.t.shape[0])
+        if self.bucket:
+            poses0, odo_meas = _pad_chain_to(
+                graph.poses0, graph.odo_meas, bucket_capacity(p_real)
+            )
+            graph = graph._replace(poses0=poses0, odo_meas=odo_meas)
         poses, info = solve_pose_graph(graph, cfg.pose_graph)
-        st.poses = poses
+        st.poses = poses[:p_real]
         st.n_lc = int(lc_valid.sum())
         self._last_info = info
-        return poses
+        return st.poses
 
     def frame_poses(self, f: int) -> se3.Pose3:
         return self.state.poses[self.state.frame_slices[f]]

@@ -98,3 +98,86 @@ def test_online_estimates_available_every_step():
     p2 = online.add_frame(frames[1])
     assert np.all(np.isfinite(np.asarray(p2.t)))
     assert online.frame_poses(1).t.shape[0] == 120
+
+
+def test_bucket_capacity_ladder():
+    from diasss_tpu.online import bucket_capacity
+
+    assert bucket_capacity(1) == 256
+    assert bucket_capacity(256) == 256
+    assert bucket_capacity(257) == 512
+    assert bucket_capacity(300) == bucket_capacity(512) == 512
+    assert bucket_capacity(5, base=16) == 16
+
+
+def test_chain_padding_does_not_move_real_poses():
+    """The identity leaf factors appended by bucketing must leave the real
+    poses' optimum unchanged (online.py:_pad_chain_to contract)."""
+    import jax.numpy as jnp
+
+    from diasss_tpu.config import PoseGraphConfig
+    from diasss_tpu.geometry import se3
+    from diasss_tpu.online import _pad_chain_to
+    from diasss_tpu.solvers.pose_graph import build_chain_graph, solve_pose_graph
+
+    rng = np.random.default_rng(5)
+    P = 60
+    rows = np.zeros((P, 6), np.float32)
+    rows[:, 3] = np.arange(P) * 0.4
+    rows[:, 4] = rng.normal(0, 0.3, P)
+    lc_i = np.asarray([5, 20], np.int32)
+    lc_j = np.asarray([40, 55], np.int32)
+    lc_rows = np.zeros((2, 6), np.float32)
+    lc_rows[:, 3:6] = rows[lc_j, 3:6] - rows[lc_i, 3:6] + 0.05
+    cfg = PoseGraphConfig(init_noise_xyz=0.0, init_noise_rpy_deg=0.0)
+    graph = build_chain_graph(
+        [rows], lc_i=lc_i, lc_j=lc_j,
+        lc_meas=se3.from_rodrigues_xyz(jnp.asarray(lc_rows)),
+        lc_sigmas=np.full((2, 6), 0.05, np.float32),
+        lc_valid=np.ones(2, bool), cfg=cfg, noise_key=None,
+    )
+    poses_ref, _ = solve_pose_graph(graph, cfg)
+
+    poses0, odo_meas = _pad_chain_to(graph.poses0, graph.odo_meas, 96)
+    padded = graph._replace(poses0=poses0, odo_meas=odo_meas)
+    poses_pad, _ = solve_pose_graph(padded, cfg)
+    np.testing.assert_allclose(
+        np.asarray(poses_pad.t[:P]), np.asarray(poses_ref.t), rtol=0, atol=1e-4
+    )
+    # the pad poses trail the last real pose
+    np.testing.assert_allclose(
+        np.asarray(poses_pad.t[P:]),
+        np.broadcast_to(np.asarray(poses_pad.t[P - 1]), (36, 3)),
+        rtol=0, atol=1e-3,
+    )
+
+
+@pytest.mark.slow
+def test_online_bucketing_reuses_programs():
+    """Frames whose cumulative ping counts share a power-of-two bucket must
+    re-enter the same compiled solver program (VERDICT r1 item 9)."""
+    import dataclasses
+
+    from diasss_tpu.config import PoseGraphConfig
+    from diasss_tpu.solvers.pose_graph import solve_pose_graph
+
+    # 4 parallel far-apart lines: no overlap gate fires, so the only shape
+    # drivers are the pose count (120, 240, 360, 480) and the fixed empty
+    # LC bucket -> exactly two buckets (256, 512), two compiles.
+    survey = make_survey(n_lines=4, n_pings=120, n_bins=256, n_landmarks=10,
+                         seed=3, spacing=5000.0)
+    frames = [
+        build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+        for l in survey.lines
+    ]
+    cfg = dataclasses.replace(
+        PipelineConfig(),
+        pose_graph=PoseGraphConfig(init_noise_xyz=0.0, init_noise_rpy_deg=0.0),
+    )
+    online = OnlineSlam(cfg, bucket=True)
+    c0 = solve_pose_graph._cache_size()
+    for f in frames:
+        poses = online.add_frame(f)
+    assert poses.t.shape[0] == 480
+    compiles = solve_pose_graph._cache_size() - c0
+    assert compiles <= 2, compiles
