@@ -64,6 +64,7 @@ class SolveInfo(NamedTuple):
     iterations: jnp.ndarray
     cg_iters_total: jnp.ndarray
     grad_norm: jnp.ndarray
+    lam: jnp.ndarray = None  # final LM damping (resume/checkpoint state)
 
 
 def _whitened_residuals(poses: se3.Pose3, graph: PoseGraph):
@@ -188,11 +189,13 @@ def _pcg(matvec, b, precond, tol, max_iters):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()):
+def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig(),
+                     lam0=None):
     """Batched LM on the full pose graph; returns (poses, SolveInfo).
 
     Reaches the same fixed point as the reference's repeated ``isam.update()``
     stream (the nonlinear LSQ optimum of the identical factor graph).
+    ``lam0`` resumes LM damping from a checkpoint (:mod:`..checkpoint`).
     """
     P = graph.poses0.t.shape[0]
     err0 = graph_error(graph.poses0, graph)
@@ -281,13 +284,15 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig())
         stall = jnp.where(improved, 0, stall + 1)
         return poses2, err2, lam2, k + 1, stall, cg_total + cg_k, g_n
 
-    poses, err, _, iters, _, cg_total, gnorm = jax.lax.while_loop(
+    dtype = graph.poses0.t.dtype
+    lam_init = jnp.asarray(1e-4, dtype) if lam0 is None else jnp.asarray(lam0, dtype)
+    poses, err, lam_f, iters, _, cg_total, gnorm = jax.lax.while_loop(
         w_cond,
         w_body,
         (
             graph.poses0,
             err0,
-            jnp.asarray(1e-4, graph.poses0.t.dtype),
+            lam_init,
             jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32),
@@ -300,6 +305,7 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig())
         iterations=iters,
         cg_iters_total=cg_total,
         grad_norm=gnorm,
+        lam=lam_f,
     )
     return poses, info
 
