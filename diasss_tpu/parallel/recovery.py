@@ -1,0 +1,114 @@
+"""Elastic failure recovery: heartbeat-gated chunked solves that survive
+device loss (SURVEY §5 failure-detection/elastic-recovery row).
+
+The reference has no analogue — its iSAM2 state is implicit, single-process,
+and lost on any failure (/root/reference/src/core/optimizer.cpp:146-276 is the
+stream it would have to restart from scratch).  Here the sequence-parallel
+solver's state is explicit (pose iterate + LM damping), so recovery is a
+mesh rebuild plus a warm restart:
+
+1. the solve runs in bounded chunks (``chunk`` LM iterations per dispatch);
+2. between chunks a liveness probe decides which devices are still healthy —
+   by default :func:`..parallel.distributed.heartbeat` over the current mesh
+   (a psum of ones: any hung/dead participant stalls or miscounts it); tests
+   inject probes that drop devices deliberately;
+3. on a shrink the mesh is rebuilt from the survivors and the solve CONTINUES
+   from the carried state — the pose chain re-partitions to the new block
+   size automatically (the SP solver pads per device count), trading a
+   recompile for not losing the optimization;
+4. with ``path`` set, every chunk boundary also snapshots to disk
+   (:func:`..checkpoint.save_solver_state`), so the same state survives full
+   process loss (kill-and-resume, like the single-device checkpointed solve).
+
+Same fixed point as the uninterrupted solve: LM iterate and damping carry
+over exactly; only the chunk boundaries (and the device count) differ.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PoseGraphConfig
+from ..solvers.pose_graph import PoseGraph, SolveInfo
+from .seq import seq_pose_graph_solve
+from .shard import make_mesh
+
+
+def heartbeat_probe(chunk_idx: int, devices: list) -> list:
+    """Default liveness probe: run the mesh heartbeat over the current devices;
+    return the devices if it counts them all, else fall back to device 0 only
+    (a real multi-host dead peer surfaces as a collective error/timeout —
+    caught here — rather than a wrong count)."""
+    from jax.sharding import Mesh
+
+    from .distributed import heartbeat
+
+    try:
+        mesh = Mesh(np.asarray(devices), ("data",))
+        if int(heartbeat(mesh)) == len(devices):
+            return devices
+    except Exception:  # collective failure: shrink to the local device
+        pass
+    return devices[:1]
+
+
+def elastic_seq_pose_graph_solve(
+    graph: PoseGraph,
+    cfg: PoseGraphConfig = PoseGraphConfig(),
+    chunk: int = 5,
+    devices: Optional[list] = None,
+    probe: Optional[Callable[[int, list], list]] = heartbeat_probe,
+    path: Optional[str] = None,
+):
+    """Sequence-parallel pose-graph solve that survives device loss.
+
+    Returns ``(poses, info, events)`` where ``events`` records every mesh
+    shrink as ``(chunk_idx, n_before, n_after)``.
+    """
+    from .. import checkpoint as ckpt
+
+    devices = list(devices if devices is not None else jax.devices())
+    done = 0
+    lam = None
+    poses0 = graph.poses0
+    if path and os.path.exists(path):
+        st = ckpt.load_solver_state(path)
+        poses0, lam, done = st["poses"], st["lam"], st["iterations"]
+
+    events: List[tuple] = []
+    info = None
+    chunk_idx = 0
+    while done < cfg.max_gn_iters:
+        if probe is not None:
+            alive = probe(chunk_idx, devices)
+            if len(alive) != len(devices):
+                events.append((chunk_idx, len(devices), len(alive)))
+                devices = list(alive)
+        mesh = make_mesh(len(devices), devices=devices)
+        n_it = min(chunk, cfg.max_gn_iters - done)
+        ccfg = dataclasses.replace(cfg, max_gn_iters=n_it)
+        poses, info = seq_pose_graph_solve(
+            mesh, graph._replace(poses0=poses0), ccfg, lam0=lam
+        )
+        done += int(np.asarray(info.iterations))
+        lam = float(np.asarray(info.lam))
+        # detach from the (possibly shrinking) mesh: the next chunk's mesh may
+        # have fewer devices than this result's sharding
+        poses0 = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x)), poses
+        )
+        if path:
+            ckpt.save_solver_state(path, poses0, lam, done,
+                                   meta={"error": float(np.asarray(info.error))})
+        if int(np.asarray(info.iterations)) < n_it:  # converged inside the chunk
+            break
+        chunk_idx += 1
+    if path and os.path.exists(path):
+        os.remove(path)
+    return poses0, info, events

@@ -27,8 +27,9 @@ from ..config import KeypointNoiseConfig, LoopClosureConfig, PoseGraphConfig
 
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = "data",
+              devices=None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
     n = n_devices or len(devs)
     return Mesh(devs[:n], (axis,))
 

@@ -1,0 +1,87 @@
+"""Elastic failure recovery (SURVEY §5): a solve survives losing devices
+mid-optimization and still reaches the uninterrupted optimum."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diasss_tpu.config import PoseGraphConfig
+from diasss_tpu.geometry import se3
+from diasss_tpu.parallel.recovery import elastic_seq_pose_graph_solve, heartbeat_probe
+from diasss_tpu.parallel.shard import make_mesh
+from diasss_tpu.solvers.pose_graph import build_chain_graph, solve_pose_graph
+
+
+def _graph(P=96, seed=4):
+    rng = np.random.default_rng(seed)
+    tt = np.zeros((P, 6), np.float32)
+    tt[:, 3] = np.arange(P) * 0.4
+    dr = tt.copy()
+    dr[:, 4] += np.cumsum(rng.normal(0, 0.05, P)).astype(np.float32)
+    lc_i = np.asarray([5, 20, 40], np.int32)
+    lc_j = np.asarray([60, 75, 90], np.int32)
+    lc_rows = np.zeros((3, 6), np.float32)
+    lc_rows[:, 3:6] = tt[lc_j, 3:6] - tt[lc_i, 3:6]
+    cfg = PoseGraphConfig(init_noise_xyz=0.0, init_noise_rpy_deg=0.0)
+    graph = build_chain_graph(
+        [dr], lc_i=lc_i, lc_j=lc_j,
+        lc_meas=se3.from_rodrigues_xyz(jnp.asarray(lc_rows)),
+        lc_sigmas=np.full((3, 6), 0.05, np.float32),
+        lc_valid=np.ones(3, bool), cfg=cfg, noise_key=None,
+    )
+    return graph, cfg
+
+
+def test_survives_losing_half_the_mesh():
+    graph, cfg = _graph()
+    ref, _ = solve_pose_graph(graph, cfg)
+
+    def drop_after_first_chunk(chunk_idx, devices):
+        return devices if chunk_idx == 0 else devices[: max(1, len(devices) // 2)]
+
+    poses, info, events = elastic_seq_pose_graph_solve(
+        graph, cfg, chunk=3, devices=jax.devices()[:8], probe=drop_after_first_chunk
+    )
+    assert events and events[0][1] == 8 and events[0][2] == 4, events
+    np.testing.assert_allclose(
+        np.asarray(poses.t), np.asarray(ref.t), rtol=0, atol=2e-3
+    )
+
+
+def test_process_loss_resume_via_snapshot(tmp_path):
+    """Full process loss: a second invocation resumes from the on-disk
+    snapshot written at the chunk boundary before the 'crash'."""
+    graph, cfg = _graph(seed=8)
+    ref, _ = solve_pose_graph(graph, cfg)
+    path = str(tmp_path / "elastic.npz")
+
+    calls = {"n": 0}
+
+    def crash_on_second_chunk(chunk_idx, devices):
+        calls["n"] += 1
+        if chunk_idx >= 1:
+            raise RuntimeError("simulated process loss")
+        return devices
+
+    with pytest.raises(RuntimeError):
+        elastic_seq_pose_graph_solve(
+            graph, cfg, chunk=2, devices=jax.devices()[:4],
+            probe=crash_on_second_chunk, path=path,
+        )
+    assert os.path.exists(path)  # snapshot from the completed chunk survives
+
+    poses, info, events = elastic_seq_pose_graph_solve(
+        graph, cfg, chunk=10, devices=jax.devices()[:4], probe=None, path=path
+    )
+    np.testing.assert_allclose(
+        np.asarray(poses.t), np.asarray(ref.t), rtol=0, atol=2e-3
+    )
+    assert not os.path.exists(path)
+
+
+def test_heartbeat_probe_all_alive():
+    devs = jax.devices()[:4]
+    assert heartbeat_probe(0, devs) == devs
