@@ -98,9 +98,19 @@ class OnlineSlam:
             est = slam.add_frame(build_keyframe(...))  # poses after this frame
     """
 
-    def __init__(self, cfg: PipelineConfig = PipelineConfig(), bucket: bool = True):
+    def __init__(self, cfg: PipelineConfig = PipelineConfig(), bucket: bool = True,
+                 window_frames: int | None = None):
+        """``window_frames`` enables fixed-lag smoothing (two-stage estimator):
+        only the newest ``window_frames`` frames are re-optimized per arrival;
+        older poses FREEZE at their last estimate, and loop closures spanning
+        the boundary are re-anchored onto the (gauge-fixed) boundary pose
+        using the frozen endpoint's estimate.  This bounds per-frame solve
+        cost at O(window) — the iSAM2 cost-profile answer for unbounded
+        streams — at the standard fixed-lag price: frozen history is never
+        retro-corrected and frozen endpoints are treated as exact."""
         self.cfg = cfg
         self.bucket = bucket
+        self.window_frames = window_frames
         self.state = OnlineState(frames=[], poses=None, frame_slices=[], n_lc=0)
         self._feats: List = []  # detected features per frame (use_anno=False)
         # frame idx -> [(ref_img_id, corres rows)], the _match_pairs layout
@@ -252,16 +262,38 @@ class OnlineSlam:
                     )
                 )
 
-        dr_rows = [np.asarray(f.dr_poses) for f in st.frames]
-        l_real = max(len(self._accepted), 1)
+        # fixed-lag window: freeze poses of frames older than the window and
+        # re-anchor boundary-crossing LCs onto the gauge pose (ctor docstring)
+        cut_frame = 0
+        if self.window_frames is not None and len(st.frames) > self.window_frames:
+            cut_frame = len(st.frames) - self.window_frames
+        cut = int(offsets[cut_frame])
+
+        dr_rows = [np.asarray(f.dr_poses) for f in st.frames[cut_frame:]]
+        factors = []  # (i_local, j_local, R, t, sigmas)
+        for a in self._accepted:
+            gi, gj, Rm_k, tm_k, sig = a
+            if gi >= cut and gj >= cut:
+                factors.append((gi - cut, gj - cut, Rm_k, tm_k, sig))
+            elif gi < cut and gj >= cut:
+                m = se3.Pose3(jnp.asarray(Rm_k), jnp.asarray(tm_k))
+                m2 = se3.compose(se3.between(st.poses[cut], st.poses[gi]), m)
+                factors.append((0, gj - cut, np.asarray(m2.R), np.asarray(m2.t), sig))
+            elif gj < cut and gi >= cut:
+                m = se3.Pose3(jnp.asarray(Rm_k), jnp.asarray(tm_k))
+                m2 = se3.compose(m, se3.between(st.poses[gj], st.poses[cut]))
+                factors.append((gi - cut, 0, np.asarray(m2.R), np.asarray(m2.t), sig))
+            # both frozen: fully determined by frozen history — drop
+
+        l_real = max(len(factors), 1)
         l_cap = bucket_capacity(l_real, base=16) if self.bucket else l_real
         lc_i = np.zeros(l_cap, np.int32)
-        lc_j = np.full(l_cap, min(1, offsets[-1] - 1), np.int32)
+        lc_j = np.full(l_cap, min(1, offsets[-1] - cut - 1), np.int32)
         lc_sigmas = np.ones((l_cap, 6), np.float32)
         lc_valid = np.zeros(l_cap, bool)
         Rm = np.broadcast_to(np.eye(3, dtype=np.float32), (l_cap, 3, 3)).copy()
         tm = np.zeros((l_cap, 3), np.float32)
-        for k, a in enumerate(self._accepted):
+        for k, a in enumerate(factors):
             lc_i[k], lc_j[k] = a[0], a[1]
             Rm[k], tm[k] = a[2], a[3]
             lc_sigmas[k] = a[4]
@@ -273,12 +305,14 @@ class OnlineSlam:
             lc_sigmas=lc_sigmas, lc_valid=lc_valid,
             cfg=cfg.pose_graph, noise_key=None,
         )
-        # warm start: previous estimate for the old poses, DR for the new frame
+        # warm start: previous estimate for the already-seen window poses, DR
+        # for the new frame; with a window, pose 0 = the (fixed) boundary pose
         if st.poses is not None:
-            prev_P = st.poses.t.shape[0]
-            R0 = graph.poses0.R.at[:prev_P].set(st.poses.R)
-            t0 = graph.poses0.t.at[:prev_P].set(st.poses.t)
-            graph = graph._replace(poses0=se3.Pose3(R0, t0))
+            prev_win = int(st.poses.t.shape[0]) - cut
+            if prev_win > 0:
+                R0 = graph.poses0.R.at[:prev_win].set(st.poses.R[cut:])
+                t0 = graph.poses0.t.at[:prev_win].set(st.poses.t[cut:])
+                graph = graph._replace(poses0=se3.Pose3(R0, t0))
 
         p_real = int(graph.poses0.t.shape[0])
         if self.bucket:
@@ -287,7 +321,11 @@ class OnlineSlam:
             )
             graph = graph._replace(poses0=poses0, odo_meas=odo_meas)
         poses, info = solve_pose_graph(graph, cfg.pose_graph)
-        st.poses = poses[:p_real]
+        win = poses[:p_real]
+        if cut > 0:
+            st.poses = _tree_cat(st.poses[:cut], win)
+        else:
+            st.poses = win
         st.n_lc = int(lc_valid.sum())
         self._last_info = info
         return st.poses

@@ -181,3 +181,57 @@ def test_online_bucketing_reuses_programs():
     assert poses.t.shape[0] == 480
     compiles = solve_pose_graph._cache_size() - c0
     assert compiles <= 2, compiles
+
+
+@pytest.mark.slow
+def test_online_fixed_lag_window():
+    """window_frames bounds per-frame solve cost at O(window): solver shapes
+    stop growing once the window fills (iSAM2 cost-profile answer), frozen
+    history never changes, and accuracy stays near the full online solve."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from diasss_tpu.config import PoseGraphConfig
+    from diasss_tpu.solvers.pose_graph import solve_pose_graph
+
+    survey = make_survey(n_lines=4, n_pings=150, n_bins=512, n_landmarks=40,
+                         seed=7, n_tie_lines=0)
+    frames = [
+        build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+        for l in survey.lines
+    ]
+    gt_all = np.concatenate([l.gt_poses for l in survey.lines])
+    cfg = dataclasses.replace(
+        PipelineConfig(),
+        pose_graph=PoseGraphConfig(init_noise_xyz=0.0, init_noise_rpy_deg=0.0),
+    )
+
+    full = OnlineSlam(cfg)
+    for f in frames:
+        poses_full = full.add_frame(f)
+
+    win = OnlineSlam(cfg, window_frames=2)
+    c0 = solve_pose_graph._cache_size()
+    frozen_snapshot = None
+    for k, f in enumerate(frames):
+        poses_win = win.add_frame(f)
+        if k == 2:  # window active: poses of frame 0 are frozen now
+            frozen_snapshot = np.asarray(poses_win.t[:150]).copy()
+    # frozen history never moved
+    np.testing.assert_array_equal(np.asarray(poses_win.t[:150]), frozen_snapshot)
+    # bounded compile count: window graphs share one bucketed shape
+    assert solve_pose_graph._cache_size() - c0 <= 2
+    assert poses_win.t.shape[0] == 600
+
+    from diasss_tpu.geometry import se3 as _se3
+
+    dr_all = np.concatenate([l.dr_poses for l in survey.lines])
+    ate_dr = trajectory_ate(
+        _se3.from_rodrigues_xyz(jnp.asarray(dr_all, jnp.float32)), gt_all
+    )
+    ate_win = trajectory_ate(poses_win, gt_all)
+    ate_full = trajectory_ate(poses_full, gt_all)
+    assert ate_win < ate_dr, (ate_win, ate_dr)
+    # fixed-lag pays an accuracy price vs full smoothing, but stays close
+    assert ate_win < 2.0 * ate_full + 0.1, (ate_win, ate_full)
