@@ -46,6 +46,12 @@ def main(argv=None) -> int:
                         help="--auto: largest credible DR drift between overlapping lines (m)")
     parser.add_argument("--min-overlap", type=float, default=None,
                         help="override the pair-gate IoU threshold (reference: 0.4)")
+    parser.add_argument("--online", action="store_true",
+                        help="stream survey lines one at a time through the incremental "
+                             "interface (iSAM2-equivalent: an estimate after every frame)")
+    parser.add_argument("--window", type=int, default=None, metavar="W",
+                        help="--online: fixed-lag window of W frames — per-frame solve "
+                             "cost stays O(window) on unbounded streams")
     args = parser.parse_args(argv)
 
     import jax
@@ -111,6 +117,43 @@ def main(argv=None) -> int:
         import os
 
         gt_rows = [np.loadtxt(os.path.join(args.gt, f)) for f in sorted(os.listdir(args.gt))]
+
+    if args.online:
+        from .online import OnlineSlam
+
+        slam = OnlineSlam(pipe_cfg, window_frames=args.window)
+        for k, f in enumerate(frames):
+            t1 = time.perf_counter()
+            poses = slam.add_frame(f)
+            print(
+                f"frame {k} ({f.img_id}): estimate over {poses.t.shape[0]} pings, "
+                f"{slam.state.n_lc} loop closures in the solve "
+                f"({time.perf_counter()-t1:.2f}s)"
+            )
+        if gt_rows is not None:
+            from .evaluate import trajectory_ate
+            from .geometry import se3 as _se3
+            import jax.numpy as jnp
+
+            gt_all = np.concatenate(gt_rows)
+            dr_all = np.concatenate([np.asarray(f.dr_poses) for f in frames])
+            ate_dr = trajectory_ate(
+                _se3.from_rodrigues_xyz(jnp.asarray(dr_all, jnp.float32)), gt_all
+            )
+            print(f"ATE DR/EST: {ate_dr:.3f} / {trajectory_ate(poses, gt_all):.3f} m")
+        if args.out:
+            import os
+
+            from .trajectory import save_poses_rpy
+
+            os.makedirs(args.out, exist_ok=True)
+            for k in range(len(frames)):
+                save_poses_rpy(
+                    os.path.join(args.out, f"online_est_poses_{frames[k].img_id}.txt"),
+                    slam.frame_poses(k),
+                )
+            print(f"online trajectories written to {args.out}")
+        return 0
 
     t0 = time.perf_counter()
     if args.trace:
