@@ -200,104 +200,117 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig(),
     P = graph.poses0.t.shape[0]
     err0 = graph_error(graph.poses0, graph)
 
-    def trial(carry, _):
-        poses, err, lam = carry
-        idx_i, idx_j, r, Ji, Jj = _build_normal_terms(poses, graph)
-        g, D = _gradient_and_diag(idx_i, idx_j, r, Ji, Jj, P, fixed0=True)
-        Dp = D * (1.0 + lam) + 1e-6 * jnp.eye(6, dtype=D.dtype)
+    def make_trial(precond_kind):
+        def trial(carry, _):
+            poses, err, lam = carry
+            idx_i, idx_j, r, Ji, Jj = _build_normal_terms(poses, graph)
+            g, D = _gradient_and_diag(idx_i, idx_j, r, Ji, Jj, P, fixed0=True)
+            Dp = D * (1.0 + lam) + 1e-6 * jnp.eye(6, dtype=D.dtype)
 
-        precond_kind = cfg.preconditioner
-        if precond_kind == "auto":
-            # trace-time platform choice (see PoseGraphConfig.preconditioner):
-            # on TPU the chain preconditioner in its MXU form (dense per-segment
-            # inverses, one wide batched GEMM per application) keeps the tridiag
-            # optimum without the narrow-6x6-kernel wall cost that made round 1
-            # fall back to jacobi (PERF.md)
-            precond_kind = "dense_seg" if jax.default_backend() == "tpu" else "tridiag"
-        if precond_kind == "dense_seg":
-            from .tridiag import (
-                apply_dense_segment_inverses,
-                auto_dense_segment,
-                dense_segment_inverses,
+            if precond_kind == "dense_seg":
+                from .tridiag import (
+                    apply_dense_segment_inverses,
+                    auto_dense_segment,
+                    dense_segment_inverses,
+                )
+
+                U = jnp.einsum("fab,fac->fbc", Ji[: P - 1], Jj[: P - 1], precision=_HI)
+                U = U.at[0].set(0.0)
+                seg = auto_dense_segment(P, cfg.tridiag_segment)
+                Minv = dense_segment_inverses(Dp, U, seg)
+
+                def precond(v):
+                    return apply_dense_segment_inverses(Minv, v)
+
+            elif precond_kind == "tridiag":
+                # exact chain preconditioner: the odometry part of H is exactly
+                # block-tridiagonal, solved in log2(P) batched levels (cyclic
+                # reduction) — PCG iterations are then governed by the
+                # loop-closure corrections, not the chain length
+                from .tridiag import solve_block_tridiag_segmented
+
+                U = jnp.einsum(
+                    "fab,fac->fbc", Ji[: P - 1], Jj[: P - 1], precision=_HI
+                )
+                # pose 0 is the gauge: decouple it (D row is identity in Dp)
+                U = U.at[0].set(0.0)
+
+                def precond(v):
+                    return solve_block_tridiag_segmented(Dp, U, v, cfg.tridiag_segment)
+
+            else:
+                L = jnp.linalg.cholesky(Dp)
+
+                def precond(v):
+                    return jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
+
+            matvec = _make_matvec(idx_i, idx_j, Ji, Jj, P, lam, D, fixed0=True)
+            delta, cg_k = _pcg(matvec, -g, precond, cfg.cg_tol, cfg.cg_max_iters)
+            new_poses = se3.retract(poses, delta)
+            # keep the fixed pose bit-identical
+            new_poses = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    (jnp.arange(P) == 0).reshape((P,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                poses,
+                new_poses,
             )
+            new_err = graph_error(new_poses, graph)
+            good = jnp.isfinite(new_err) & (new_err < err)
+            poses = jax.tree_util.tree_map(lambda a, b: jnp.where(good, b, a), poses, new_poses)
+            err = jnp.where(good, new_err, err)
+            lam = jnp.where(good, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 10.0, 1e6))
+            return (poses, err, lam), (jnp.linalg.norm(g), cg_k)
 
-            U = jnp.einsum("fab,fac->fbc", Ji[: P - 1], Jj[: P - 1], precision=_HI)
-            U = U.at[0].set(0.0)
-            seg = auto_dense_segment(P, cfg.tridiag_segment)
-            Minv = dense_segment_inverses(Dp, U, seg)
-
-            def precond(v):
-                return apply_dense_segment_inverses(Minv, v)
-
-        elif precond_kind == "tridiag":
-            # exact chain preconditioner: the odometry part of H is exactly
-            # block-tridiagonal, solved in log2(P) batched levels (cyclic
-            # reduction) — PCG iterations are then governed by the loop-closure
-            # corrections, not the chain length
-            from .tridiag import solve_block_tridiag_segmented
-
-            U = jnp.einsum(
-                "fab,fac->fbc", Ji[: P - 1], Jj[: P - 1], precision=_HI
-            )
-            # pose 0 is the gauge: decouple it (D row is identity in Dp)
-            U = U.at[0].set(0.0)
-
-            def precond(v):
-                return solve_block_tridiag_segmented(Dp, U, v, cfg.tridiag_segment)
-
-        else:
-            L = jnp.linalg.cholesky(Dp)
-
-            def precond(v):
-                return jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
-
-        matvec = _make_matvec(idx_i, idx_j, Ji, Jj, P, lam, D, fixed0=True)
-        delta, cg_k = _pcg(matvec, -g, precond, cfg.cg_tol, cfg.cg_max_iters)
-        new_poses = se3.retract(poses, delta)
-        # keep the fixed pose bit-identical
-        new_poses = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(
-                (jnp.arange(P) == 0).reshape((P,) + (1,) * (a.ndim - 1)), a, b
-            ),
-            poses,
-            new_poses,
-        )
-        new_err = graph_error(new_poses, graph)
-        good = jnp.isfinite(new_err) & (new_err < err)
-        poses = jax.tree_util.tree_map(lambda a, b: jnp.where(good, b, a), poses, new_poses)
-        err = jnp.where(good, new_err, err)
-        lam = jnp.where(good, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 10.0, 1e6))
-        return (poses, err, lam), (jnp.linalg.norm(g), cg_k)
+        return trial
 
     # while_loop with convergence exit: stop when two consecutive accepted
     # trials improve the error by < rel_exit_tol (relative), or on iteration cap
     rel_exit_tol = 1e-6
-
-    def w_cond(state):
-        _, _, _, k, stall, _, _ = state
-        return (k < cfg.max_gn_iters) & (stall < 2)
-
-    def w_body(state):
-        poses, err, lam, k, stall, cg_total, gnorm = state
-        (poses2, err2, lam2), (g_n, cg_k) = trial((poses, err, lam), None)
-        improved = (err - err2) > rel_exit_tol * jnp.maximum(err, 1e-30)
-        stall = jnp.where(improved, 0, stall + 1)
-        return poses2, err2, lam2, k + 1, stall, cg_total + cg_k, g_n
-
     dtype = graph.poses0.t.dtype
+
+    def run_phase(precond_kind, poses, err, lam, max_iters):
+        trial = make_trial(precond_kind)
+
+        def w_cond(state):
+            _, _, _, k, stall, _, _ = state
+            return (k < max_iters) & (stall < 2)
+
+        def w_body(state):
+            poses, err, lam, k, stall, cg_total, gnorm = state
+            (poses2, err2, lam2), (g_n, cg_k) = trial((poses, err, lam), None)
+            improved = (err - err2) > rel_exit_tol * jnp.maximum(err, 1e-30)
+            stall = jnp.where(improved, 0, stall + 1)
+            return poses2, err2, lam2, k + 1, stall, cg_total + cg_k, g_n
+
+        return jax.lax.while_loop(
+            w_cond,
+            w_body,
+            (
+                poses,
+                err,
+                lam,
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(0.0, dtype),
+            ),
+        )
+
+    kind = cfg.preconditioner
+    if kind == "auto":
+        # trace-time platform choice (see PoseGraphConfig.preconditioner).
+        # Measured at P=3000 on TPU v5e (PERF.md round-2): jacobi 0.77 s but
+        # stalls at err 4.3e-3; dense_seg (segment capped at 64 on TPU,
+        # tridiag.auto_dense_segment) reaches 3.2e-3 in 1.8 s.  A two-phase
+        # jacobi->dense hybrid was tried and REJECTED: 1.74 s to a slightly
+        # worse optimum — jacobi's CG iterations cost nearly the dense trials
+        # they replace, since the factor-wise matvec dominates both.
+        kind = "dense_seg" if jax.default_backend() == "tpu" else "tridiag"
+
     lam_init = jnp.asarray(1e-4, dtype) if lam0 is None else jnp.asarray(lam0, dtype)
-    poses, err, lam_f, iters, _, cg_total, gnorm = jax.lax.while_loop(
-        w_cond,
-        w_body,
-        (
-            graph.poses0,
-            err0,
-            lam_init,
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(0.0, graph.poses0.t.dtype),
-        ),
+    poses, err, lam_f, iters, _, cg_total, gnorm = run_phase(
+        kind, graph.poses0, err0, lam_init, cfg.max_gn_iters
     )
     info = SolveInfo(
         error0=err0,

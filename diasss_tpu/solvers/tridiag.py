@@ -197,6 +197,10 @@ def dense_segment_inverses(D: jnp.ndarray, U: jnp.ndarray, segment: int) -> jnp.
             jnp.swapaxes(U_seg.swapaxes(-1, -2), 0, 1)
         )
     M = T.reshape(S, m, m)
+    # NOTE: a bf16 inverse store was tried (halves apply bytes) and REJECTED:
+    # the chain matrices are ill-conditioned enough that bf16 rounding wrecks
+    # the preconditioner (measured P=3000 TPU: solve 1.8 s -> 4.5 s and the
+    # reached optimum degraded 3.2e-3 -> 1.0e-2).  f32 it stays.
     return jnp.linalg.inv(M)
 
 
@@ -213,7 +217,14 @@ def apply_dense_segment_inverses(Minv: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarr
 
 def auto_dense_segment(P: int, requested: int, budget_floats: int = 150_000_000) -> int:
     """Largest power-of-two segment <= requested whose inverse store
-    ``36 * P * segment`` floats fits the budget (>= 8)."""
+    ``36 * P * segment`` floats fits the budget (>= 8).
+
+    On TPU the segment is additionally capped at 64: the per-trial batched
+    inversion cost grows ~segment^2 while CG savings flatten — measured at
+    P=3000 (PERF.md round-2 sweep): seg 64 = 1.81 s total solve vs
+    seg 256 = 2.91 s, seg 128 = 4.72 s."""
+    if jax.default_backend() == "tpu":
+        requested = min(requested, 64)
     seg = 8
     while seg * 2 <= requested and 36 * P * (seg * 2) <= budget_floats:
         seg *= 2
