@@ -241,6 +241,10 @@ class PipelineConfig:
     rematch_iters: int = 0
     rematch_geo_radius: float = 3.0  # tighter gate once drift is compensated
     rematch_geo_discrepancy: float = 2.0  # full-BA gate on re-iterations
+    # Multi-chip execution: when set (and that many devices exist), the global
+    # solves run sequence-parallel over an n-device mesh (parallel/seq.py:
+    # pose chain block-partitioned, O(P/n)+halo per device).  None = one chip.
+    mesh_devices: int | None = None
 
 
 DEFAULT = PipelineConfig()

@@ -359,10 +359,26 @@ def _solve_two_stage(frames, geo_list, kps_pairs, pair_ids, cap, cfg, timings):
         cfg=cfg.pose_graph,
         noise_key=noise_key,
     )
-    poses, info = solve_pose_graph(graph, cfg.pose_graph)
+    mesh = _maybe_mesh(cfg)
+    if mesh is not None:
+        from .parallel.seq import seq_pose_graph_solve
+
+        poses, info = seq_pose_graph_solve(mesh, graph, cfg.pose_graph)
+    else:
+        poses, info = solve_pose_graph(graph, cfg.pose_graph)
     jax.block_until_ready(poses.t)
     timings["pose_graph"] = timings.get("pose_graph", 0.0) + time.perf_counter() - t0
     return poses, info, lc_results, n_acc
+
+
+def _maybe_mesh(cfg):
+    """The mesh for PipelineConfig.mesh_devices, or None (single chip)."""
+    n = cfg.mesh_devices
+    if not n or n <= 1 or len(jax.devices()) < n:
+        return None
+    from .parallel.shard import make_mesh
+
+    return make_mesh(n)
 
 
 def _solve_full_ba(frames, geo_list, kps_pairs, pair_ids, cfg, init_poses, it, timings):
@@ -389,7 +405,13 @@ def _solve_full_ba(frames, geo_list, kps_pairs, pair_ids, cfg, init_poses, it, t
     prob = build_ba_problem(frames_geo, kps_pairs, pair_ids, ba_cfg, cfg.pose_graph, noise_key)
     if init_poses is not None:
         prob = prob._replace(poses0=init_poses)
-    poses, lms, info = solve_full_ba(prob, ba_cfg, cfg.kp_noise)
+    mesh = _maybe_mesh(cfg)
+    if mesh is not None:
+        from .parallel.seq import seq_full_ba_solve
+
+        poses, lms, info = seq_full_ba_solve(mesh, prob, ba_cfg, cfg.kp_noise)
+    else:
+        poses, lms, info = solve_full_ba(prob, ba_cfg, cfg.kp_noise)
     jax.block_until_ready(poses.t)
     timings["full_ba"] = timings.get("full_ba", 0.0) + time.perf_counter() - t0
     return poses, info, int(np.asarray(prob.kp_valid).sum())

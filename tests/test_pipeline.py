@@ -135,3 +135,37 @@ class TestReferenceDumps:
                 assert len(vals) == e2.n_pairs
         an = tmp_path / "result" / "anno_errors"
         assert any(f.startswith("dr_lm_dist_") for f in os.listdir(an))
+
+
+@pytest.mark.slow
+def test_run_slam_mesh_devices_matches_single_chip():
+    """PipelineConfig.mesh_devices routes the global solves through the
+    sequence-parallel mesh solvers; results must match the one-chip run."""
+    import dataclasses
+
+    from diasss_tpu.config import PoseGraphConfig
+
+    survey = make_survey(n_lines=3, n_pings=150, n_bins=512, n_landmarks=40, seed=7)
+    frames = [
+        build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+        for l in survey.lines
+    ]
+    gt = [l.gt_poses for l in survey.lines]
+    base = dataclasses.replace(
+        PipelineConfig(),
+        pose_graph=PoseGraphConfig(init_noise_xyz=0.0, init_noise_rpy_deg=0.0),
+    )
+    r1 = run_slam(frames, base, gt_rows_list=gt, run_eval2=False)
+    r8 = run_slam(
+        frames, dataclasses.replace(base, mesh_devices=8),
+        gt_rows_list=gt, run_eval2=False,
+    )
+    assert abs(r8.ate_est - r1.ate_est) < 0.02, (r8.ate_est, r1.ate_est)
+
+    ba = dataclasses.replace(base, estimator="full_ba")
+    b1 = run_slam(frames, ba, gt_rows_list=gt, run_eval2=False)
+    b8 = run_slam(
+        frames, dataclasses.replace(ba, mesh_devices=8),
+        gt_rows_list=gt, run_eval2=False,
+    )
+    assert abs(b8.ate_est - b1.ate_est) < 0.02, (b8.ate_est, b1.ate_est)
