@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -150,3 +151,57 @@ def normalize_columns(raw: jnp.ndarray) -> jnp.ndarray:
     mx = jnp.max(x)
     x = (x - mn) * (255.0 / jnp.maximum(mx - mn, 1e-12))
     return jnp.round(x).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("norm_cfg", "mask_cfg"))
+def _preprocess_batch(raws, poses, grs, norm_cfg, mask_cfg):
+    n_bins = raws.shape[2]
+    from .geometry import sonar
+
+    return (
+        jax.vmap(lambda r: normalize_sss(r, norm_cfg))(raws),
+        jax.vmap(lambda r: filtered_mask(r, mask_cfg))(raws),
+        jax.vmap(lambda p, g: sonar.geo_image(p[:, 3:5], p[:, 2], g, n_bins))(poses, grs),
+    )
+
+
+def build_keyframes_batch(
+    items,
+    norm_cfg: NormalizeConfig = NormalizeConfig(),
+    mask_cfg: MaskConfig = MaskConfig(),
+    dtype=jnp.float32,
+):
+    """Batched :func:`build_keyframe`: ``items`` is a list of
+    ``(img_id, raw, dr_poses, altitudes, ground_ranges, annos)`` tuples.
+
+    When every line has the same shape (the common equal-length-line survey),
+    ALL preprocessing (normalize + mask + geo) runs as ONE vmapped device
+    program over the stacked ``(N, pings, bins)`` batch instead of 3*N
+    dispatches; otherwise falls back to per-frame construction.  Same values
+    as the per-frame path.
+    """
+    shapes = {(np.shape(it[1]), np.shape(it[2])) for it in items}
+    if len(shapes) != 1:
+        return [build_keyframe(*it, norm_cfg=norm_cfg, mask_cfg=mask_cfg, dtype=dtype)
+                for it in items]
+    raws = jnp.asarray(np.stack([it[1] for it in items]), dtype)
+    poses = jnp.asarray(np.stack([it[2] for it in items]), dtype)
+    grs = jnp.asarray(np.stack([it[4] for it in items]), dtype)
+    norms, masks, geos = _preprocess_batch(raws, poses, grs, norm_cfg, mask_cfg)
+    out = []
+    for k, it in enumerate(items):
+        annos = it[5] if len(it) > 5 else None
+        out.append(
+            Keyframe(
+                img_id=it[0],
+                raw=raws[k],
+                norm=norms[k],
+                mask=masks[k],
+                geo=geos[k],
+                dr_poses=poses[k],
+                altitudes=jnp.asarray(it[3], dtype),
+                ground_ranges=grs[k],
+                annos=np.zeros((0, 7), np.int64) if annos is None else np.asarray(annos),
+            )
+        )
+    return out

@@ -169,3 +169,22 @@ def test_run_slam_mesh_devices_matches_single_chip():
         gt_rows_list=gt, run_eval2=False,
     )
     assert abs(b8.ate_est - b1.ate_est) < 0.02, (b8.ate_est, b1.ate_est)
+
+
+def test_build_keyframes_batch_matches_per_frame():
+    from diasss_tpu.frame import build_keyframes_batch
+
+    survey = make_survey(n_lines=3, n_pings=80, n_bins=256, n_landmarks=10, seed=2)
+    items = [
+        (l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+        for l in survey.lines
+    ]
+    batch = build_keyframes_batch(items)
+    for it, bf in zip(items, batch):
+        ref = build_keyframe(*it)
+        assert bf.img_id == ref.img_id
+        np.testing.assert_allclose(np.asarray(bf.norm), np.asarray(ref.norm),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(bf.mask), np.asarray(ref.mask))
+        np.testing.assert_allclose(np.asarray(bf.geo), np.asarray(ref.geo),
+                                   rtol=0, atol=1e-4)
