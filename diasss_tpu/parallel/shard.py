@@ -6,11 +6,11 @@ Parallelism map (SURVEY §2 "Parallelism & distributed-communication inventory")
   parallel (the reference runs them serially, optimizer.cpp:690-965); we shard
   the correspondence batch axis across the mesh.  No collectives are needed in
   the solve itself; each device owns a slab of independent 9-dof problems.
-* **SP over the pose chain** — the global pose-graph linear algebra is factor-wise
-  (gather -> 6x6 GEMMs -> segment-sum).  Sharding the factor arrays across the
-  mesh makes every CG matvec a local contraction followed by an XLA-inserted
-  all-reduce (psum) of the scattered gradient segments: the classic data-parallel
-  reduction pattern riding ICI.
+* **DP over the loop-closure factor arrays** of the global solves — a local
+  contraction followed by an XLA-inserted all-reduce (psum) of the scattered
+  gradient segments; the pose system itself stays replicated here.  TRUE
+  sequence parallelism over the pose chain (every O(P) tensor O(P/n)+halo per
+  device) lives in :mod:`.seq`.
 
 Everything uses ``jax.jit`` with explicit ``NamedSharding`` constraints — XLA
 chooses the collectives (the "How to Scale Your Model" recipe: pick a mesh,
@@ -135,11 +135,14 @@ def sharded_full_ba_solve(mesh: Mesh, prob, ba_cfg=None, kp_cfg: KeypointNoiseCo
 
 
 def sharded_pose_graph_solve(mesh: Mesh, graph, cfg: PoseGraphConfig = PoseGraphConfig()):
-    """Pose-graph LM with loop-closure factor arrays sharded over the mesh.
+    """Pose-graph LM with the LOOP-CLOSURE factor arrays sharded over the mesh.
 
-    The chain factors' (P-1)-sized Jacobian batches and the LC factor batch are
-    the large per-iteration tensors; sharding their leading dims makes the
-    linearization data-parallel, with segment-sum gradients all-reduced by XLA.
+    Only the LC batch's leading dim is sharded; the pose chain (poses,
+    odometry measurements, and therefore the chain Jacobians XLA derives from
+    them) is REPLICATED on every device — per-device memory for the pose
+    system is O(P).  This is the light-weight variant for surveys that fit a
+    chip; for the true sequence-parallel partition (every O(P) tensor
+    O(P/n)+halo per device) use :func:`..parallel.seq.seq_pose_graph_solve`.
     """
     from ..solvers.pose_graph import solve_pose_graph
 
