@@ -108,6 +108,14 @@ class OnlineSlam:
         cost at O(window) — the iSAM2 cost-profile answer for unbounded
         streams — at the standard fixed-lag price: frozen history is never
         retro-corrected and frozen endpoints are treated as exact."""
+        if window_frames is not None and cfg.estimator == "full_ba":
+            raise ValueError(
+                "window_frames currently applies to the two-stage estimator "
+                "only: the joint BA's sonar factors couple (pose_i, pose_j, "
+                "landmark) triples, and freezing arbitrary endpoint poses "
+                "needs per-factor constant-pose support the batched Schur "
+                "solver does not have yet"
+            )
         self.cfg = cfg
         self.bucket = bucket
         self.window_frames = window_frames
