@@ -34,6 +34,18 @@ def _solve_blocks(D, X):
     return jax.scipy.linalg.cho_solve((L, True), X[..., None])[..., 0]
 
 
+def _invert_blocks(D):
+    """Explicit batched 6x6 SPD inverses (cholesky vs identity).
+
+    On TPU, triangular solves against narrow RHS are far slower than GEMMs;
+    computing the inverse ONCE per cyclic-reduction level and applying it as
+    batched matmuls keeps every level on the MXU.  The blocks are LM-damped
+    SPD, so the explicit inverse is numerically safe here."""
+    eye = jnp.broadcast_to(jnp.eye(D.shape[-1], dtype=D.dtype), D.shape)
+    L = jnp.linalg.cholesky(D)
+    return jax.scipy.linalg.cho_solve((L, True), eye)
+
+
 def solve_block_tridiag(D: jnp.ndarray, U: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve the SPD block-tridiagonal system; returns x with b's shape.
 
@@ -64,10 +76,16 @@ def solve_block_tridiag(D: jnp.ndarray, U: jnp.ndarray, b: jnp.ndarray) -> jnp.n
         has_right[:, None, None], U[jnp.minimum(odd, U.shape[0] - 1)], 0.0
     )  # block (i, i+1)
 
-    # D_odd^-1 applied to couplings and rhs
-    Dinv_Ul = _solve_blocks(D_odd, U_left.swapaxes(-1, -2))  # D^-1 U_left^T
-    Dinv_Ur = _solve_blocks(D_odd, U_right)  # D^-1 U_right
-    Dinv_b = _solve_blocks(D_odd, b_odd)
+    # D_odd^-1 applied to couplings and rhs — ONE factorization per level,
+    # applications as batched GEMMs (MXU work; triangular solves on narrow
+    # blocks are the TPU bottleneck this avoids)
+    Dinv = _invert_blocks(D_odd)
+    Dinv_Ul = _mm(Dinv, U_left.swapaxes(-1, -2))  # D^-1 U_left^T
+    Dinv_Ur = _mm(Dinv, U_right)  # D^-1 U_right
+    if b.ndim == 3:
+        Dinv_b = _mm(Dinv, b_odd)
+    else:
+        Dinv_b = jnp.einsum("kab,kb->ka", Dinv, b_odd, precision=_HI)
 
     # reduced system on even indices
     D_new = D[even]
@@ -112,12 +130,69 @@ def solve_block_tridiag(D: jnp.ndarray, U: jnp.ndarray, b: jnp.ndarray) -> jnp.n
     x_right = jnp.where(has_right[:, None], x_even[x_right_idx], 0.0)
     rhs = b_odd - jnp.einsum("kab,ka->kb", U_left, x_left, precision=_HI)
     rhs = rhs - jnp.einsum("kab,kb->ka", U_right, x_right, precision=_HI)
-    x_odd = _solve_blocks(D_odd, rhs)
+    x_odd = jnp.einsum("kab,kb->ka", Dinv, rhs, precision=_HI)
 
     x = jnp.zeros_like(b)
     x = x.at[even].set(x_even)
     x = x.at[odd].set(x_odd)
     return x
+
+
+def solve_block_tridiag_multi(D: jnp.ndarray, U: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Multi-RHS exact chain solve: ``B`` is (P, 6, R); returns (P, 6, R).
+
+    vmap over the RHS axis reuses every Cholesky factorization of the cyclic
+    reduction across all R columns (``in_axes=None`` keeps the D/U path
+    unbatched) — the marginal cost per extra column is one batched GEMM per
+    level.  This is what makes the Woodbury direct solvers
+    (:func:`diasss_tpu.solvers.pose_graph.solve_pose_graph` kind="direct")
+    cheap: one factorization serves the gradient AND all low-rank columns.
+    """
+    return jax.vmap(solve_block_tridiag, in_axes=(None, None, 2), out_axes=2)(D, U, B)
+
+
+def thomas_block_tridiag_multi(D: jnp.ndarray, U: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Multi-RHS exact chain solve by block-Thomas (LDL-style) ``lax.scan``.
+
+    Same result as :func:`solve_block_tridiag_multi`, different cost shape:
+    cyclic reduction unrolls ``log2(P)`` levels at trace time (compile cost
+    grows with P and the vmapped RHS width), while this is TWO scans whose body
+    is one 6x6 Cholesky + a (6, R) triangular solve — compile cost is O(1) in
+    P.  Runtime is 2P sequential steps of tiny GEMMs; with R in the hundreds
+    (the Woodbury direct solvers) each step still feeds the MXU a (6, R) tile,
+    so the serial chain is far cheaper than the PCG iteration chain it
+    replaces.  ``B``: (P, 6, R); returns (P, 6, R).
+    """
+    P = D.shape[0]
+    if P == 1:
+        return _solve_blocks(D, B)
+    Upad = jnp.concatenate([jnp.zeros((1,) + U.shape[1:], U.dtype), U])  # U[i-1] at row i
+
+    def fwd(carry, inp):
+        L_prev, c_prev = carry
+        Di, Ui_prev, Bi = inp
+        # M = U_{i-1}^T S_{i-1}^-1  ->  S_i = D_i - M U_{i-1}, c_i = B_i - M c_{i-1}
+        SinvU = jax.scipy.linalg.cho_solve((L_prev, True), Ui_prev)  # S^-1 U
+        Si = Di - _mm(Ui_prev.swapaxes(-1, -2), SinvU)
+        ci = Bi - _mm(Ui_prev.swapaxes(-1, -2), jax.scipy.linalg.cho_solve((L_prev, True), c_prev))
+        Li = jnp.linalg.cholesky(Si)
+        return (Li, ci), (Li, ci)
+
+    L0 = jnp.linalg.cholesky(D[0])
+    (_, _), (Ls, cs) = jax.lax.scan(fwd, (L0, B[0]), (D[1:], U, B[1:]))
+    Ls = jnp.concatenate([L0[None], Ls])
+    cs = jnp.concatenate([B[0][None], cs])
+
+    # back substitution: x_i = S_i^-1 (c_i - U_i x_{i+1})
+    xP = jax.scipy.linalg.cho_solve((Ls[-1], True), cs[-1])
+
+    def bwd(x_next, inp):
+        Li, ci, Ui = inp
+        xi = jax.scipy.linalg.cho_solve((Li, True), ci - _mm(Ui, x_next))
+        return xi, xi
+
+    _, xs = jax.lax.scan(bwd, xP, (Ls[:-1], cs[:-1], U), reverse=True)
+    return jnp.concatenate([xs, xP[None]])
 
 
 def solve_block_tridiag_segmented(
