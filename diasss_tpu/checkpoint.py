@@ -89,13 +89,17 @@ def load_trajectory_state(path: str):
 
 
 def save_solver_state(path: str, poses: se3.Pose3, lam, iterations: int,
-                      landmarks=None, meta: dict | None = None) -> None:
-    """Snapshot a solver's full LM state (iterate + damping + progress)."""
+                      landmarks=None, meta: dict | None = None,
+                      stall: int = 0) -> None:
+    """Snapshot a solver's full LM state (iterate + damping + progress +
+    stall-exit counter — carrying ``stall`` keeps the 2-trial stall exit
+    identical across chunk boundaries)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     arrays = dict(
         R=np.asarray(poses.R), t=np.asarray(poses.t),
         lam=np.asarray(lam, np.float64),
         iterations=np.asarray(int(iterations), np.int64),
+        stall=np.asarray(int(stall), np.int64),
         meta=json.dumps(meta or {}),
     )
     if landmarks is not None:
@@ -113,6 +117,7 @@ def load_solver_state(path: str):
     lms = jnp.asarray(data["landmarks"]) if "landmarks" in data else None
     return dict(
         poses=poses, lam=float(data["lam"]), iterations=int(data["iterations"]),
+        stall=int(data["stall"]) if "stall" in data else 0,
         landmarks=lms, meta=json.loads(str(data["meta"])),
     )
 
@@ -140,18 +145,22 @@ def solve_pose_graph_checkpointed(graph, cfg=None, path: str = "solver_ckpt.npz"
     cfg = cfg or PoseGraphConfig()
     done = 0
     lam = None
+    stall = 0
     if os.path.exists(path):
         st = load_solver_state(path)
         graph = graph._replace(poses0=st["poses"])
-        lam, done = st["lam"], st["iterations"]
+        lam, done, stall = st["lam"], st["iterations"], st["stall"]
     info = None
     for n in _chunked(cfg.max_gn_iters - done, chunk):
+        if stall >= 2:
+            break
         ccfg = dataclasses.replace(cfg, max_gn_iters=n)
-        poses, info = solve_pose_graph(graph, ccfg, lam0=lam)
+        poses, info = solve_pose_graph(graph, ccfg, lam0=lam, stall0=stall)
         done += int(np.asarray(info.iterations))
         lam = float(np.asarray(info.lam))
+        stall = int(np.asarray(info.stall))
         graph = graph._replace(poses0=poses)
-        save_solver_state(path, poses, lam, done,
+        save_solver_state(path, poses, lam, done, stall=stall,
                           meta={"error": float(np.asarray(info.error))})
         if int(np.asarray(info.iterations)) < n:  # converged inside the chunk
             break
@@ -170,19 +179,23 @@ def solve_full_ba_checkpointed(prob, cfg, kp_cfg, path: str = "ba_ckpt.npz",
 
     done = 0
     lam = None
+    stall = 0
     if os.path.exists(path):
         st = load_solver_state(path)
         prob = prob._replace(poses0=st["poses"], lm0=st["landmarks"])
-        lam, done = st["lam"], st["iterations"]
+        lam, done, stall = st["lam"], st["iterations"], st["stall"]
     info = None
     lms = prob.lm0
     for n in _chunked(cfg.max_iters - done, chunk):
+        if stall >= 2:
+            break
         ccfg = dataclasses.replace(cfg, max_iters=n)
-        poses, lms, info = solve_full_ba(prob, ccfg, kp_cfg, lam0=lam)
+        poses, lms, info = solve_full_ba(prob, ccfg, kp_cfg, lam0=lam, stall0=stall)
         done += int(np.asarray(info.iterations))
         lam = float(np.asarray(info.lam))
+        stall = int(np.asarray(info.stall))
         prob = prob._replace(poses0=poses, lm0=lms)
-        save_solver_state(path, poses, lam, done, landmarks=lms,
+        save_solver_state(path, poses, lam, done, landmarks=lms, stall=stall,
                           meta={"error": float(np.asarray(info.error))})
         if int(np.asarray(info.iterations)) < n:
             break

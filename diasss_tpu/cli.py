@@ -99,9 +99,12 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     use_anno = pipe_cfg.pose_graph.use_anno
+    # --online: OnlineSlam.add_frame runs detection itself (one frame at a
+    # time, interleaved with solves), so load-time detection would be done
+    # twice and discarded — skip it there (ADVICE r2)
     frames, feats, load_timings = load_keyframes_pipelined(
         args.image, args.pose, args.altitude, args.groundrange, args.annotation,
-        detector_cfg=None if use_anno else pipe_cfg.detector,
+        detector_cfg=None if (use_anno or args.online) else pipe_cfg.detector,
     )
     wall = time.perf_counter() - t0
     print(

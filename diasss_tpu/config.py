@@ -173,12 +173,19 @@ class PoseGraphConfig:
     max_gn_iters: int = 30  # outer LM iterations of the batch solver
     cg_tol: float = 1e-6
     cg_max_iters: int = 250
-    # "jacobi" = block-diagonal; "tridiag" = segment-parallel cyclic reduction
-    # (best on CPU); "dense_seg" = the SAME segmented chain preconditioner in
-    # MXU form — dense per-segment inverses built once per LM trial, each PCG
-    # application one wide batched GEMM (best on TPU: cyclic reduction's narrow
-    # 6x6 levels measured ~10x wall vs jacobi in round 1, PERF.md); "auto"
-    # picks dense_seg on TPU / tridiag elsewhere
+    # Linear-solve strategy per LM trial:
+    # * "direct" — NOT a preconditioner: the EXACT damped step by multi-RHS
+    #   chain factorization (cyclic reduction / Thomas by backend) + Woodbury
+    #   over the loop-closure columns — zero CG iterations (pose_graph.py:
+    #   _direct_lm_step).  Replaces the serial PCG dependency chain with
+    #   log2(P) levels of batched MXU algebra; cost grows with the LC count
+    #   (one (6L, 6L) dense Cholesky per trial).
+    # * "jacobi" = block-diagonal PCG; "tridiag" = segment-parallel cyclic-
+    #   reduction-preconditioned PCG (best PCG on CPU); "dense_seg" = the SAME
+    #   segmented chain preconditioner in MXU form — dense per-segment
+    #   inverses built once per LM trial, each PCG application one wide
+    #   batched GEMM.
+    # * "auto" picks by backend (PERF.md round-3 shootout).
     preconditioner: str = "auto"
     tridiag_segment: int = 256  # segment length for the segment-parallel solve
     seed: int = 0  # initial-noise PRNG seed

@@ -8,11 +8,16 @@ ORBextractor.cpp:1097-1098).
 """
 
 from .detector import DetectedFeatures, detect_features
-from .geopatch import attach_geo_patch_descriptors, geo_patch_descriptors
+from .geopatch import (
+    attach_geo_patch_descriptors,
+    attach_geo_patch_descriptors_batch,
+    geo_patch_descriptors,
+)
 
 __all__ = [
     "DetectedFeatures",
     "detect_features",
     "attach_geo_patch_descriptors",
+    "attach_geo_patch_descriptors_batch",
     "geo_patch_descriptors",
 ]

@@ -108,3 +108,32 @@ def attach_geo_patch_descriptors(feats, norm_img, geo, cfg):
         norm_img, geo, feats.xy, half=cfg.geopatch_half, res=cfg.geopatch_res
     )
     return feats._replace(desc=desc, valid=feats.valid & ok)
+
+
+def attach_geo_patch_descriptors_batch(feats_list, norm_list, geo_list, cfg):
+    """Whole-survey geo-patch attach: ONE vmapped device program over stacked
+    frames when every frame shares image shape and keypoint capacity (the
+    per-frame loop costs a dispatch — and a tunnel round trip — per frame).
+    Falls back to the per-frame loop on mixed shapes; identical outputs."""
+    same = (
+        len({tuple(n.shape) for n in norm_list}) == 1
+        and len({f.xy.shape[0] for f in feats_list}) == 1
+    )
+    if not same or len(feats_list) <= 1:
+        return [
+            attach_geo_patch_descriptors(f, n, g, cfg)
+            for f, n, g in zip(feats_list, norm_list, geo_list)
+        ]
+    descs, oks = jax.vmap(
+        lambda nm, ge, xy: geo_patch_descriptors(
+            nm, ge, xy, half=cfg.geopatch_half, res=cfg.geopatch_res
+        )
+    )(
+        jnp.stack(list(norm_list)),
+        jnp.stack(list(geo_list)),
+        jnp.stack([f.xy for f in feats_list]),
+    )
+    return [
+        f._replace(desc=descs[i], valid=f.valid & oks[i])
+        for i, f in enumerate(feats_list)
+    ]

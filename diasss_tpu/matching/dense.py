@@ -75,17 +75,31 @@ def _rasterize(norm_img, geo, x0, y0, res, width: int, height: int):
     )
 
 
-def world_raster(norm_img, geo, res: float, margin: float = 2.0) -> WorldRaster:
+def raster_shape(geo, res: float, margin: float = 2.0):
+    """(height, width) a frame's world raster needs, bucketed to x64."""
+    gx = np.asarray(geo[..., 0])
+    gy = np.asarray(geo[..., 1])
+    width = int(np.ceil((gx.max() + 2 * margin - gx.min()) / res)) + 1
+    height = int(np.ceil((gy.max() + 2 * margin - gy.min()) / res)) + 1
+    return int(np.ceil(height / 64) * 64), int(np.ceil(width / 64) * 64)
+
+
+def world_raster(
+    norm_img, geo, res: float, margin: float = 2.0, shape: tuple | None = None
+) -> WorldRaster:
     """World-aligned raster of one frame (dims bucketed to multiples of 64 so
-    similar frames share compiled programs)."""
+    similar frames share compiled programs).  ``shape=(H, W)`` overrides the
+    frame-fit dims — the stacked matcher rasterizes every frame at the
+    survey-common shape so rasters stack into one (F, H, W) array (cells
+    beyond a frame's extent simply stay empty)."""
     gx = np.asarray(geo[..., 0])
     gy = np.asarray(geo[..., 1])
     x0 = float(gx.min() - margin)
     y0 = float(gy.min() - margin)
-    width = int(np.ceil((gx.max() + margin - x0) / res)) + 1
-    height = int(np.ceil((gy.max() + margin - y0) / res)) + 1
-    width = int(np.ceil(width / 64) * 64)
-    height = int(np.ceil(height / 64) * 64)
+    if shape is None:
+        height, width = raster_shape(geo, res, margin)
+    else:
+        height, width = shape
     img, cnt, ping, col = _rasterize(norm_img, geo, x0, y0, res, width, height)
     return WorldRaster(img, cnt, ping, col, x0, y0, res)
 
@@ -120,7 +134,10 @@ class DenseMatches(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("half", "n_ring", "step_cells", "ncc_min", "ncc_ratio", "min_cover")
+    jax.jit,
+    static_argnames=(
+        "half", "n_ring", "step_cells", "ncc_min", "ncc_ratio", "min_cover", "batch_size"
+    ),
 )
 def _correlate(
     desc_q: jnp.ndarray,  # (K, G) world-aligned unit patches of the source kps
@@ -133,6 +150,7 @@ def _correlate(
     ncc_min: float,
     ncc_ratio: float,
     min_cover: float,
+    batch_size: int = 16,
 ):
     img, cnt = raster.img, raster.cnt
     H, W = img.shape
@@ -174,10 +192,14 @@ def _correlate(
         )
         return jnp.where(cover_ok & inb & (nrm > 1e-3), s, -2.0)
 
-    # batched map: 16 offsets per step bounds the gather working set to
-    # ~16*K*G floats while keeping each device step wide (a bare lax.map would
-    # serialize all O(441) offsets into tiny dispatches)
-    scores = jax.lax.map(lambda o: score_at(o[0], o[1]), offs, batch_size=16)  # (O, K)
+    # batched map: batch_size offsets per step bounds the gather working set
+    # to ~batch_size*K*G floats while keeping each device step wide (a bare
+    # lax.map would serialize all O(441) offsets into tiny dispatches; the
+    # stacked whole-survey matcher shrinks batch_size since every step there
+    # is already n_pairs wide)
+    scores = jax.lax.map(
+        lambda o: score_at(o[0], o[1]), offs, batch_size=batch_size
+    )  # (O, K)
 
     best_o = jnp.argmax(scores, axis=0)  # (K,)
     best = jnp.take_along_axis(scores, best_o[None, :], axis=0)[0]
@@ -196,7 +218,7 @@ def _correlate(
         deltas = jnp.stack([ddy.ravel(), ddx.ravel()], axis=1)  # (D, 2)
         fine = jax.lax.map(
             lambda d: score_at(boff[:, 0] + d[0], boff[:, 1] + d[1]), deltas,
-            batch_size=min(16, deltas.shape[0]),
+            batch_size=min(batch_size, deltas.shape[0]),
         )  # (D, K)
         fbest = jnp.argmax(fine, axis=0)
         best = jnp.take_along_axis(fine, fbest[None, :], axis=0)[0]
@@ -277,6 +299,141 @@ def _smooth_filter(kp_geo: np.ndarray, tgt_geo: np.ndarray, ok: np.ndarray, cfg:
         tol=float(cfg.smooth_tol),
     )
     return np.asarray(keep)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "res", "half", "n_ring", "step_cells", "ncc_min", "ncc_ratio", "min_cover",
+        "radius", "min_neighbors", "tol", "batch_size",
+    ),
+)
+def _dense_pairs_program(
+    rimg, rcnt, rping, rcol,  # (F, H, W) stacked world rasters
+    x0s, y0s,  # (F,)
+    geo_kps,  # (F, K, 2) keypoint world positions per frame
+    kp_valid,  # (F, K) bool
+    si, ti,  # (Pn,) int32 source/target frame index per pair
+    res: float,
+    half: int,
+    n_ring: int,
+    step_cells: int,
+    ncc_min: float,
+    ncc_ratio: float,
+    min_cover: float,
+    radius: float,
+    min_neighbors: int,
+    tol: float,
+    batch_size: int,
+):
+    """ALL gated pairs' dense correlation + displacement-field filter as ONE
+    device program (vmap over the pair axis).  Replaces the per-pair host loop
+    that cost one device round trip per pair — the analogue of the kp path's
+    ``robust_matching_stacked`` for the automatic profile's default matcher
+    (reference per-pair hot loop: FEAmatcher.cpp:79-98)."""
+
+    def one_pair(s, t):
+        rs = WorldRaster(rimg[s], rcnt[s], rping[s], rcol[s], x0s[s], y0s[s], res)
+        rt = WorldRaster(rimg[t], rcnt[t], rping[t], rcol[t], x0s[t], y0s[t], res)
+        geo_kp = geo_kps[s]
+        desc_q, ok_q = _raster_patches(rs, geo_kp, half, min_cover)
+        dm = _correlate(
+            desc_q, ok_q & kp_valid[s], geo_kp, rt,
+            half=half, n_ring=n_ring, step_cells=step_cells, ncc_min=ncc_min,
+            ncc_ratio=ncc_ratio, min_cover=min_cover, batch_size=batch_size,
+        )
+        keep = _smooth_filter_dev(
+            geo_kp, dm.tgt_geo, dm.ok,
+            radius=radius, min_neighbors=min_neighbors, tol=tol,
+        )
+        return dm, keep
+
+    return jax.vmap(one_pair)(si, ti)
+
+
+def dense_matching_stacked(
+    pair_ids,
+    img_ids,
+    feats_list,
+    norm_list,
+    geo_list,
+    det_cfg: DetectorConfig,
+    cfg: DenseMatchConfig,
+):
+    """Whole-survey dense matching: every frame rasterized once at the
+    survey-common raster shape, every gated pair correlated + smoothness-
+    filtered in ONE stacked dispatch, ONE device->host transfer.
+
+    Same results as per-pair :func:`dense_matching` (parity-tested); requires
+    all frames to share the keypoint capacity K (the pipeline pads features to
+    the survey max, pipeline.py:_match_pairs).  Returns
+    ``{(i, j): (rows_s, rows_t, n)}`` in the corres_kps layout.
+    """
+    res = det_cfg.geopatch_res
+    F = len(feats_list)
+    shapes = [raster_shape(g, res) for g in geo_list]
+    H = max(s[0] for s in shapes)
+    W = max(s[1] for s in shapes)
+    rasters = [
+        world_raster(nm, g, res, shape=(H, W)) for nm, g in zip(norm_list, geo_list)
+    ]
+    rimg = jnp.stack([r.img for r in rasters])
+    rcnt = jnp.stack([r.cnt for r in rasters])
+    rping = jnp.stack([r.ping for r in rasters])
+    rcol = jnp.stack([r.col for r in rasters])
+    x0s = jnp.asarray([r.x0 for r in rasters], jnp.float32)
+    y0s = jnp.asarray([r.y0 for r in rasters], jnp.float32)
+
+    geo_kps = jnp.stack(
+        [
+            g[
+                jnp.clip(f.xy[:, 1].astype(jnp.int32), 0, g.shape[0] - 1),
+                jnp.clip(f.xy[:, 0].astype(jnp.int32), 0, g.shape[1] - 1),
+            ]
+            for f, g in zip(feats_list, geo_list)
+        ]
+    )
+    kp_valid = jnp.stack([f.valid for f in feats_list])
+    si = jnp.asarray([i for (i, j) in pair_ids], jnp.int32)
+    ti = jnp.asarray([j for (i, j) in pair_ids], jnp.int32)
+
+    n_ring = int(np.ceil(cfg.search_radius / res))
+    # each lax.map step inside _correlate is already n_pairs wide when
+    # stacked — shrink the per-step offset batch to bound the gather working
+    # set at roughly the per-pair path's size
+    batch = max(1, 16 // max(len(pair_ids), 1))
+    dm, keep = _dense_pairs_program(
+        rimg, rcnt, rping, rcol, x0s, y0s, geo_kps, kp_valid, si, ti,
+        res=res, half=det_cfg.geopatch_half, n_ring=n_ring,
+        step_cells=cfg.step_cells, ncc_min=cfg.ncc_min, ncc_ratio=cfg.ncc_ratio,
+        min_cover=cfg.min_cover, radius=float(cfg.smooth_radius),
+        min_neighbors=int(cfg.smooth_min_neighbors), tol=float(cfg.smooth_tol),
+        batch_size=batch,
+    )
+    # one transfer for the whole survey
+    keep_np = np.asarray(keep)
+    ping_np = np.asarray(dm.tgt_ping)
+    col_np = np.asarray(dm.tgt_col)
+
+    out = {}
+    for p, (i, j) in enumerate(pair_ids):
+        idx = np.nonzero(keep_np[p])[0]
+        n = len(idx)
+        xy = np.asarray(feats_list[i].xy)
+        rows_s = np.empty((n, 6), np.float64)
+        rows_s[:, 0] = img_ids[i]
+        rows_s[:, 1] = img_ids[j]
+        rows_s[:, 2] = xy[idx, 1]
+        rows_s[:, 3] = xy[idx, 0]
+        rows_s[:, 4] = np.round(ping_np[p, idx])
+        rows_s[:, 5] = np.round(col_np[p, idx])
+        rows_t = np.empty((n, 6), np.float64)
+        rows_t[:, 0] = img_ids[j]
+        rows_t[:, 1] = img_ids[i]
+        rows_t[:, 2:4] = rows_s[:, 4:6]
+        rows_t[:, 4:6] = rows_s[:, 2:4]
+        out[(i, j)] = (rows_s, rows_t, n)
+    return out
 
 
 def dense_matching(

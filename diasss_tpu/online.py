@@ -108,6 +108,14 @@ class OnlineSlam:
         cost at O(window) — the iSAM2 cost-profile answer for unbounded
         streams — at the standard fixed-lag price: frozen history is never
         retro-corrected and frozen endpoints are treated as exact."""
+        if window_frames is not None and window_frames < 2:
+            # window_frames=1 would freeze EVERY previously-seen pose the
+            # moment a frame arrives: the boundary pose the re-anchoring
+            # gauge-fixes (st.poses[cut]) would then be the brand-new frame's
+            # first pose, which has no previous estimate yet — an out-of-range
+            # index that JAX clamps silently into an inconsistent graph.
+            raise ValueError("window_frames must be >= 2 (the newest frame "
+                             "plus at least one estimated boundary frame)")
         if window_frames is not None and cfg.estimator == "full_ba":
             raise ValueError(
                 "window_frames currently applies to the two-stage estimator "
@@ -149,8 +157,13 @@ class OnlineSlam:
             self._feats.append(detect_features(frame.norm, frame.mask, cfg.detector))
             if new_pairs:
                 geo_list = [f.geo for f in st.frames]
+                # stacked=False: the per-pair programs' shapes stay constant
+                # as the stream grows, so every arrival reuses the compiled
+                # matcher (the stacked program's pair axis would recompile at
+                # each new pair count)
                 fresh = _match_pairs(
-                    st.frames, self._feats, geo_list, new_pairs, cfg, cfg.matcher
+                    st.frames, self._feats, geo_list, new_pairs, cfg, cfg.matcher,
+                    stacked=False,
                 )
                 for i, lst in fresh.items():
                     if lst:

@@ -43,24 +43,43 @@ def prefetch_iter(thunks: Iterable[Callable[[], object]], depth: int = 2) -> Ite
     """
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     err: List[BaseException] = []
+    stop = threading.Event()  # set when the consumer abandons the generator
+
+    def _put(item) -> bool:
+        # timeout-put so an abandoned consumer (generator closed with a full
+        # queue) cannot block the producer forever holding file handles open
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for t in thunks:
-                q.put(t())
+                if stop.is_set() or not _put(t()):
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     th = threading.Thread(target=producer, daemon=True)
     th.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        yield item
-    th.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+    finally:
+        # reached on normal exhaustion AND on early close/throw from the
+        # consumer (break or exception in the consuming loop): release the
+        # producer promptly instead of leaking it until process exit
+        stop.set()
+        th.join()
     if err:
         raise err[0]
 

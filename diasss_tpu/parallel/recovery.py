@@ -40,21 +40,28 @@ from .seq import seq_pose_graph_solve
 from .shard import make_mesh
 
 
-def heartbeat_probe(chunk_idx: int, devices: list) -> list:
-    """Default liveness probe: run the mesh heartbeat over the current devices;
-    return the devices if it counts them all, else fall back to device 0 only
-    (a real multi-host dead peer surfaces as a collective error/timeout —
-    caught here — rather than a wrong count)."""
+def heartbeat_probe(chunk_idx: int, devices: list, retries: int = 1) -> list:
+    """Default liveness probe: run the mesh heartbeat over the candidate
+    devices; return them all if it counts them all.  The heartbeat is RETRIED
+    (``retries`` extra attempts) before any shrink — a single transient
+    collective error must not serialize the rest of the solve (ADVICE r2).
+    Only after consecutive failures does it fall back to device 0 only (a real
+    multi-host dead peer surfaces as a collective error/timeout rather than a
+    wrong count, so the failure carries no information about WHICH device
+    died).  Because :func:`elastic_seq_pose_graph_solve` re-probes the FULL
+    original device list at every chunk boundary, a shrink is never permanent:
+    devices that come back are re-admitted at the next boundary."""
     from jax.sharding import Mesh
 
     from .distributed import heartbeat
 
-    try:
-        mesh = Mesh(np.asarray(devices), ("data",))
-        if int(heartbeat(mesh)) == len(devices):
-            return devices
-    except Exception:  # collective failure: shrink to the local device
-        pass
+    for _ in range(max(retries, 0) + 1):
+        try:
+            mesh = Mesh(np.asarray(devices), ("data",))
+            if int(heartbeat(mesh)) == len(devices):
+                return devices
+        except Exception:  # collective failure: retry, then shrink
+            pass
     return devices[:1]
 
 
@@ -69,42 +76,52 @@ def elastic_seq_pose_graph_solve(
     """Sequence-parallel pose-graph solve that survives device loss.
 
     Returns ``(poses, info, events)`` where ``events`` records every mesh
-    shrink as ``(chunk_idx, n_before, n_after)``.
+    resize — shrink OR re-grow — as ``(chunk_idx, n_before, n_after)``.  The
+    probe is handed the FULL original device list at every chunk boundary, so
+    devices that recover after a transient failure are re-admitted (the mesh
+    re-grows) instead of staying excluded for the rest of the solve.
     """
     from .. import checkpoint as ckpt
 
-    devices = list(devices if devices is not None else jax.devices())
+    all_devices = list(devices if devices is not None else jax.devices())
+    devices = all_devices
     done = 0
     lam = None
+    stall = 0
     poses0 = graph.poses0
     if path and os.path.exists(path):
         st = ckpt.load_solver_state(path)
-        poses0, lam, done = st["poses"], st["lam"], st["iterations"]
+        poses0, lam, done, stall = (
+            st["poses"], st["lam"], st["iterations"], st["stall"]
+        )
 
     events: List[tuple] = []
     info = None
     chunk_idx = 0
     while done < cfg.max_gn_iters:
         if probe is not None:
-            alive = probe(chunk_idx, devices)
+            alive = probe(chunk_idx, all_devices)
             if len(alive) != len(devices):
                 events.append((chunk_idx, len(devices), len(alive)))
                 devices = list(alive)
+        if stall >= 2:
+            break
         mesh = make_mesh(len(devices), devices=devices)
         n_it = min(chunk, cfg.max_gn_iters - done)
         ccfg = dataclasses.replace(cfg, max_gn_iters=n_it)
         poses, info = seq_pose_graph_solve(
-            mesh, graph._replace(poses0=poses0), ccfg, lam0=lam
+            mesh, graph._replace(poses0=poses0), ccfg, lam0=lam, stall0=stall
         )
         done += int(np.asarray(info.iterations))
         lam = float(np.asarray(info.lam))
+        stall = int(np.asarray(info.stall))
         # detach from the (possibly shrinking) mesh: the next chunk's mesh may
         # have fewer devices than this result's sharding
         poses0 = jax.tree_util.tree_map(
             lambda x: jnp.asarray(np.asarray(x)), poses
         )
         if path:
-            ckpt.save_solver_state(path, poses0, lam, done,
+            ckpt.save_solver_state(path, poses0, lam, done, stall=stall,
                                    meta={"error": float(np.asarray(info.error))})
         if int(np.asarray(info.iterations)) < n_it:  # converged inside the chunk
             break

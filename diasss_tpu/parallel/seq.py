@@ -125,8 +125,8 @@ def _pcg_dist(matvec, b, precond, tol, max_iters, dot):
     jax.jit, static_argnames=("mesh", "cfg", "axis", "B", "P_real")
 )
 def _seq_pg_run(poses0, odo_meas, lc_i, lc_j, lc_meas, lc_sigmas, lc_valid,
-                odo_sigmas, lam0, mesh: Mesh, cfg: PoseGraphConfig, axis: str,
-                B: int, P_real: int):
+                odo_sigmas, lam0, stall0, mesh: Mesh, cfg: PoseGraphConfig,
+                axis: str, B: int, P_real: int):
     n = mesh.devices.size
     deg_pairs = None  # silence linters
 
@@ -134,7 +134,7 @@ def _seq_pg_run(poses0, odo_meas, lc_i, lc_j, lc_meas, lc_sigmas, lc_valid,
     perm_to_next = [(i, (i + 1) % n) for i in range(n)]    # send boundary term fwd
 
     def solve_blk(poses0_blk, odo_blk, lc_i, lc_j, lc_meas, lc_sigmas, lc_valid,
-                  odo_sigmas, lam0):
+                  odo_sigmas, lam0, stall0):
         d = lax.axis_index(axis)
         gidx = d * B + jnp.arange(B)
         is_pad = gidx >= P_real
@@ -351,7 +351,7 @@ def _seq_pg_run(poses0, odo_meas, lc_i, lc_j, lc_meas, lc_sigmas, lc_valid,
             stall = jnp.where(improved, 0, stall + 1)
             return p2, e2, l2, k + 1, stall, cg_total + cg_k, g_n
 
-        poses_blk, err, lam_f, iters, _, cg_total, gnorm = lax.while_loop(
+        poses_blk, err, lam_f, iters, stall_f, cg_total, gnorm = lax.while_loop(
             w_cond,
             w_body,
             (
@@ -359,14 +359,14 @@ def _seq_pg_run(poses0, odo_meas, lc_i, lc_j, lc_meas, lc_sigmas, lc_valid,
                 err0,
                 jnp.asarray(lam0, dtype),
                 jnp.asarray(0, jnp.int32),
-                jnp.asarray(0, jnp.int32),
+                jnp.asarray(stall0, jnp.int32),
                 jnp.asarray(0, jnp.int32),
                 jnp.asarray(0.0, dtype),
             ),
         )
         info = SolveInfo(
             error0=err0, error=err, iterations=iters,
-            cg_iters_total=cg_total, grad_norm=gnorm, lam=lam_f,
+            cg_iters_total=cg_total, grad_norm=gnorm, lam=lam_f, stall=stall_f,
         )
         return poses_blk, info
 
@@ -375,18 +375,18 @@ def _seq_pg_run(poses0, odo_meas, lc_i, lc_j, lc_meas, lc_sigmas, lc_valid,
         mesh=mesh,
         in_specs=(
             P(axis), P(axis),  # poses0 tree, odo_meas tree (leading dim)
-            P(), P(), P(), P(), P(), P(), P(),  # lc arrays + odo_sigmas + lam0 replicated
+            P(), P(), P(), P(), P(), P(), P(), P(),  # lc + odo_sigmas + lam0 + stall0 replicated
         ),
         out_specs=(P(axis), P()),
         check_rep=False,
     )
     return fn(poses0, odo_meas, lc_i, lc_j, lc_meas, lc_sigmas, lc_valid,
-              odo_sigmas, lam0)
+              odo_sigmas, lam0, stall0)
 
 
 def seq_pose_graph_solve(mesh: Mesh, graph: PoseGraph,
                          cfg: PoseGraphConfig = PoseGraphConfig(),
-                         axis: str = "data", lam0=None):
+                         axis: str = "data", lam0=None, stall0=None):
     """Pose-graph LM with the pose CHAIN block-partitioned over the mesh.
 
     Unlike :func:`..parallel.shard.sharded_pose_graph_solve` (which shards only
@@ -398,10 +398,11 @@ def seq_pose_graph_solve(mesh: Mesh, graph: PoseGraph,
     n = mesh.devices.size
     poses0, odo_meas, B, P_pad, P_real = _pad_chain(graph, n)
     lam_init = jnp.asarray(1e-4 if lam0 is None else lam0, poses0.t.dtype)
+    stall_init = jnp.asarray(0 if stall0 is None else stall0, jnp.int32)
     poses_pad, info = _seq_pg_run(
         poses0, odo_meas,
         graph.lc_i, graph.lc_j, graph.lc_meas, graph.lc_sigmas, graph.lc_valid,
-        graph.odo_sigmas, lam_init, mesh, cfg, axis, B, P_real,
+        graph.odo_sigmas, lam_init, stall_init, mesh, cfg, axis, B, P_real,
     )
     return poses_pad[:P_real], info
 

@@ -61,6 +61,7 @@ class BAInfo(NamedTuple):
     iterations: jnp.ndarray
     cg_iters_total: jnp.ndarray
     lam: jnp.ndarray = None  # final LM damping (resume/checkpoint state)
+    stall: jnp.ndarray = None  # consecutive no-improvement trials (resume state)
 
 
 def _sss_factor_terms(pose: se3.Pose3, lm: jnp.ndarray, sr: jnp.ndarray, sigmas):
@@ -126,10 +127,11 @@ def _ba_error_from_residuals(r_odo, r_s, r_t, r_pr, huber_delta: float) -> jnp.n
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "kp_cfg"))
-def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg, lam0=None):
+def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg, lam0=None,
+                  stall0=None):
     """LM with per-trial Schur-eliminated linear solves; returns
-    (poses, landmarks, BAInfo).  ``lam0`` resumes LM damping from a
-    checkpoint (:mod:`..checkpoint`)."""
+    (poses, landmarks, BAInfo).  ``lam0`` / ``stall0`` resume LM damping and
+    the stall-exit counter from a checkpoint (:mod:`..checkpoint`)."""
     P = prob.poses0.t.shape[0]
     dtype = prob.poses0.t.dtype
     err0 = _ba_error(prob.poses0, prob.lm0, prob, kp_cfg, cfg.huber_delta)
@@ -407,7 +409,10 @@ def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg, lam0=None):
         return poses2, lms2, err2, lam2, k + 1, stall, cg_total + cg_k
 
     lam_init = jnp.asarray(1e-4, dtype) if lam0 is None else jnp.asarray(lam0, dtype)
-    poses, lms, err, lam_f, iters, _, cg_total = jax.lax.while_loop(
+    stall_init = (
+        jnp.asarray(0, jnp.int32) if stall0 is None else jnp.asarray(stall0, jnp.int32)
+    )
+    poses, lms, err, lam_f, iters, stall_f, cg_total = jax.lax.while_loop(
         w_cond,
         w_body,
         (
@@ -416,12 +421,12 @@ def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg, lam0=None):
             err0,
             lam_init,
             jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32),
+            stall_init,
             jnp.asarray(0, jnp.int32),
         ),
     )
     return poses, lms, BAInfo(error0=err0, error=err, iterations=iters,
-                              cg_iters_total=cg_total, lam=lam_f)
+                              cg_iters_total=cg_total, lam=lam_f, stall=stall_f)
 
 
 def build_ba_problem(

@@ -65,6 +65,7 @@ class SolveInfo(NamedTuple):
     cg_iters_total: jnp.ndarray
     grad_norm: jnp.ndarray
     lam: jnp.ndarray = None  # final LM damping (resume/checkpoint state)
+    stall: jnp.ndarray = None  # consecutive no-improvement trials (resume state)
 
 
 def _whitened_residuals(poses: se3.Pose3, graph: PoseGraph):
@@ -182,9 +183,10 @@ def _direct_lm_step(graph, idx_i, idx_j, Ji, Jj, g, D, lam, P, L_lc):
     )
 
     # backend-matched chain solve: the 2P-step Thomas scan wins on CPU (cheap
-    # tiny cho_solves, O(1)-in-P compile); TPU pays ~60us/step for small
-    # triangular solves, so the log2(P)-level batched cyclic reduction wins
-    # there (measured P=3000, R=385: Thomas 4.8 s vs CR <...> per solve)
+    # tiny cho_solves, O(1)-in-P compile); TPU pays for the serial scan over
+    # small triangular solves, so the log2(P)-level batched cyclic reduction
+    # wins there (measured P=3000, R=385, TPU v5e: Thomas 18.9 ms vs CR 3.7 ms
+    # per multi-RHS solve; CPU: Thomas 4.8 s vs CR slower at trace-time cost)
     multi_solve = (
         solve_block_tridiag_multi
         if jax.default_backend() == "tpu"
@@ -209,11 +211,18 @@ def _direct_lm_step(graph, idx_i, idx_j, Ji, Jj, g, D, lam, P, L_lc):
     Ji_l = jnp.where((graph.lc_i == 0)[:, None, None], 0.0, Ji[P - 1 :])
     Jj_l = jnp.where((graph.lc_j == 0)[:, None, None], 0.0, Jj[P - 1 :])
 
-    # V: (P, 6, L, 6) — column block l holds A_l^T, A_l v = Ji_l v_i + Jj_l v_j
-    V = jnp.zeros((P, 6, L_lc, 6), dtype)
-    arL = jnp.arange(L_lc)
-    V = V.at[graph.lc_i, :, arL, :].add(jnp.swapaxes(Ji_l, -1, -2))
-    V = V.at[graph.lc_j, :, arL, :].add(jnp.swapaxes(Jj_l, -1, -2))
+    # V: (P, 6, L, 6) — column block l holds A_l^T, A_l v = Ji_l v_i + Jj_l v_j.
+    # Built as a one-hot broadcast-multiply, NOT a scatter-add: a 2-index-dim
+    # scatter with TRACED index vectors lowers to a serial per-row update loop
+    # on TPU (measured: 393 ms/trial for the whole step vs 9 ms with this
+    # construction — the scatter WAS the direct solver's cost).
+    onehot_i = (graph.lc_i[:, None] == jnp.arange(P)[None, :]).astype(dtype)  # (L, P)
+    onehot_j = (graph.lc_j[:, None] == jnp.arange(P)[None, :]).astype(dtype)
+    V = jnp.einsum(
+        "lp,lba->pbla", onehot_i, jnp.swapaxes(Ji_l, -1, -2), precision=_HI
+    ) + jnp.einsum(
+        "lp,lba->pbla", onehot_j, jnp.swapaxes(Jj_l, -1, -2), precision=_HI
+    )
 
     B = jnp.concatenate([(-g)[:, :, None], V.reshape(P, 6, 6 * L_lc)], axis=2)
     W = multi_solve(T_diag, U, B)
@@ -270,12 +279,14 @@ def _pcg(matvec, b, precond, tol, max_iters):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig(),
-                     lam0=None):
+                     lam0=None, stall0=None):
     """Batched LM on the full pose graph; returns (poses, SolveInfo).
 
     Reaches the same fixed point as the reference's repeated ``isam.update()``
     stream (the nonlinear LSQ optimum of the identical factor graph).
-    ``lam0`` resumes LM damping from a checkpoint (:mod:`..checkpoint`).
+    ``lam0`` / ``stall0`` resume LM damping and the stall-exit counter from a
+    checkpoint (:mod:`..checkpoint`) — carrying the stall counter keeps the
+    2-trial stall exit identical across chunk boundaries.
     """
     P = graph.poses0.t.shape[0]
     err0 = graph_error(graph.poses0, graph)
@@ -374,7 +385,7 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig(),
     rel_exit_tol = 1e-6
     dtype = graph.poses0.t.dtype
 
-    def run_phase(precond_kind, poses, err, lam, max_iters):
+    def run_phase(precond_kind, poses, err, lam, max_iters, stall_init):
         trial = make_trial(precond_kind)
 
         def w_cond(state):
@@ -396,7 +407,7 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig(),
                 err,
                 lam,
                 jnp.asarray(0, jnp.int32),
-                jnp.asarray(0, jnp.int32),
+                stall_init,
                 jnp.asarray(0, jnp.int32),
                 jnp.asarray(0.0, dtype),
             ),
@@ -414,8 +425,11 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig(),
         kind = "dense_seg" if jax.default_backend() == "tpu" else "tridiag"
 
     lam_init = jnp.asarray(1e-4, dtype) if lam0 is None else jnp.asarray(lam0, dtype)
-    poses, err, lam_f, iters, _, cg_total, gnorm = run_phase(
-        kind, graph.poses0, err0, lam_init, cfg.max_gn_iters
+    stall_init = (
+        jnp.asarray(0, jnp.int32) if stall0 is None else jnp.asarray(stall0, jnp.int32)
+    )
+    poses, err, lam_f, iters, stall_f, cg_total, gnorm = run_phase(
+        kind, graph.poses0, err0, lam_init, cfg.max_gn_iters, stall_init
     )
     info = SolveInfo(
         error0=err0,
@@ -424,6 +438,7 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig(),
         cg_iters_total=cg_total,
         grad_norm=gnorm,
         lam=lam_f,
+        stall=stall_f,
     )
     return poses, info
 

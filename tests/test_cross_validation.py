@@ -199,14 +199,20 @@ def _make_pose_graph(P=14, n_lc=3, seed=0):
 
 
 class TestPoseGraphVsScipy:
-    def test_same_fixed_point(self):
+    @pytest.mark.parametrize("precond", ["auto", "direct"])
+    def test_same_fixed_point(self, precond):
         """solve_pose_graph and scipy TRF reach the same optimum of the
-        identical whitened residual (SURVEY §7: iSAM2 semantics without iSAM2)."""
+        identical whitened residual (SURVEY §7: iSAM2 semantics without iSAM2).
+        Covers both the PCG path ("auto") and the exact direct Woodbury chain
+        factorization ("direct") — same fixed point, zero CG iterations."""
         from diasss_tpu.solvers.pose_graph import graph_error, solve_pose_graph
 
         graph = _make_pose_graph()
-        cfg = PoseGraphConfig(max_gn_iters=60)
+        cfg = PoseGraphConfig(max_gn_iters=60, preconditioner=precond)
         poses_ours, info = solve_pose_graph(graph, cfg)
+        if precond == "direct":
+            # the direct path takes exactly one "CG iteration" per LM trial
+            assert int(info.cg_iters_total) == int(info.iterations)
         cost_ours = float(info.error)
 
         resid, jac, P = _tangent_resid_pose_graph(graph)

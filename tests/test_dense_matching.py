@@ -109,6 +109,45 @@ class TestDenseMatching:
         assert abs(g[1] - (r.y0 + yy[k] * r.res)) < 3 * r.res
 
 
+class TestDenseMatchingStacked:
+    def test_parity_with_per_pair(self, drifting_survey):
+        """The stacked whole-survey dispatch must reproduce the per-pair path
+        exactly when the per-pair path uses the same survey-common raster
+        shape (the only intended difference is dispatch structure)."""
+        from diasss_tpu.matching.dense import (
+            dense_matching_stacked,
+            raster_shape,
+        )
+
+        survey, frames = drifting_survey
+        dcfg = DetectorConfig(descriptor="geo_patch", n_features=1200)
+        feats = [detect_features(f.norm, f.mask, dcfg) for f in frames]
+        cfg = DenseMatchConfig(search_radius=10.0)
+        pair_ids = [(0, 1), (0, 2), (1, 2)]
+        geos = [f.geo for f in frames]
+        res = dcfg.geopatch_res
+        shapes = [raster_shape(g, res) for g in geos]
+        H = max(s[0] for s in shapes)
+        W = max(s[1] for s in shapes)
+        rasters = [
+            world_raster(f.norm, g, res, shape=(H, W)) for f, g in zip(frames, geos)
+        ]
+        stacked = dense_matching_stacked(
+            pair_ids, [f.img_id for f in frames], feats,
+            [f.norm for f in frames], geos, dcfg, cfg,
+        )
+        for (i, j) in pair_ids:
+            rows_s, rows_t, n = dense_matching(
+                frames[i].img_id, frames[j].img_id, feats[i],
+                frames[i].norm, geos[i], frames[j].norm, geos[j], dcfg, cfg,
+                raster_s=rasters[i], raster_t=rasters[j],
+            )
+            st_s, st_t, st_n = stacked[(i, j)]
+            assert st_n == n, (i, j, st_n, n)
+            np.testing.assert_allclose(st_s, rows_s)
+            np.testing.assert_allclose(st_t, rows_t)
+
+
 class TestAutomaticPipeline:
     def test_automatic_profile_improves_ate(self, drifting_survey):
         """The fully-automatic profile (zero annotations) must substantially

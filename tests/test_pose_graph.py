@@ -111,6 +111,83 @@ class TestWithLoopClosures:
         np.testing.assert_allclose(np.asarray(poses.t), np.asarray(dr.t), atol=3e-2)
 
 
+def _drifted_lc_graph(n=120, n_lc=13, seed=5):
+    rng = np.random.default_rng(seed)
+    rows = np.zeros((n, 6))
+    rows[:, 3] = np.arange(n) * 0.5
+    rows[:, 4] = 0.05 * rng.normal(size=n)
+    gt = se3.from_rodrigues_xyz(jnp.asarray(rows, jnp.float32))
+    lc_i = np.arange(2, n - 40, max((n - 42) // n_lc, 1), dtype=np.int32)[:n_lc]
+    lc_j = (lc_i + 30).astype(np.int32)
+    meas = se3.between(gt[jnp.asarray(lc_i)], gt[jnp.asarray(lc_j)])
+    return build_chain_graph(
+        [rows], lc_i=lc_i, lc_j=lc_j, lc_meas=meas,
+        lc_sigmas=np.full((len(lc_i), 6), 0.05, np.float32),
+        lc_valid=np.ones(len(lc_i), bool),
+        noise_key=jax.random.PRNGKey(1),
+    )
+
+
+class TestDirectSolver:
+    """preconditioner="direct": exact damped step by chain factorization +
+    Woodbury over the LC columns — zero CG, same fixed point as PCG."""
+
+    def test_same_fixed_point_as_pcg(self):
+        import dataclasses
+
+        g = _drifted_lc_graph()
+        cfg_p = PoseGraphConfig(preconditioner="tridiag", tridiag_segment=32)
+        cfg_d = dataclasses.replace(cfg_p, preconditioner="direct")
+        p_p, i_p = solve_pose_graph(g, cfg_p)
+        p_d, i_d = solve_pose_graph(g, cfg_d)
+        np.testing.assert_allclose(np.asarray(p_d.t), np.asarray(p_p.t), atol=1e-3)
+        assert abs(float(i_d.error) - float(i_p.error)) < 1e-2 * max(float(i_p.error), 1.0)
+        # exact step: one linear solve per LM trial, no CG iterations
+        assert int(i_d.cg_iters_total) == int(i_d.iterations)
+
+    def test_chain_only_no_lc(self):
+        """L=0 branch: pure block-tridiagonal solve, recovers the DR chain."""
+        rows = make_chain()
+        g = build_chain_graph([rows], **_no_lc(), noise_key=jax.random.PRNGKey(1))
+        # strip the placeholder LC slot entirely to hit the L_lc == 0 branch
+        from diasss_tpu.geometry import se3 as _se3
+
+        g0 = g._replace(
+            lc_i=jnp.zeros((0,), jnp.int32), lc_j=jnp.zeros((0,), jnp.int32),
+            lc_meas=_se3.identity((0,), jnp.float32),
+            lc_sigmas=jnp.ones((0, 6), jnp.float32),
+            lc_valid=jnp.zeros((0,), bool),
+        )
+        poses, info = solve_pose_graph(g0, PoseGraphConfig(preconditioner="direct"))
+        dr = se3.from_rodrigues_xyz(jnp.asarray(rows, jnp.float32))
+        assert float(info.error) < float(info.error0) * 1e-3
+        np.testing.assert_allclose(np.asarray(poses.t), np.asarray(dr.t), atol=2e-2)
+
+    def test_invalid_lc_slots_inert(self):
+        """Padded (valid=False) LC slots must not perturb the direct step —
+        their zeroed Jacobian columns add exact zeros to V and identity rows
+        to the capacitance."""
+        g = _drifted_lc_graph()
+        # append garbage invalid slots
+        from diasss_tpu.geometry import se3 as _se3
+
+        pad = 7
+        garbage = _se3.expmap(jnp.ones((pad, 6), jnp.float32))
+        gpad = g._replace(
+            lc_i=jnp.concatenate([g.lc_i, jnp.full((pad,), 3, jnp.int32)]),
+            lc_j=jnp.concatenate([g.lc_j, jnp.full((pad,), 60, jnp.int32)]),
+            lc_meas=jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b]), g.lc_meas, garbage
+            ),
+            lc_sigmas=jnp.concatenate([g.lc_sigmas, jnp.full((pad, 6), 1e-3)]),
+            lc_valid=jnp.concatenate([g.lc_valid, jnp.zeros((pad,), bool)]),
+        )
+        cfg = PoseGraphConfig(preconditioner="direct")
+        p1, i1 = solve_pose_graph(g, cfg)
+        p2, i2 = solve_pose_graph(gpad, cfg)
+        np.testing.assert_allclose(np.asarray(p2.t), np.asarray(p1.t), atol=1e-4)
+
+
 class TestDenseSegPreconditioner:
     """preconditioner="dense_seg" (the TPU-auto choice) must reach the same
     optimum as "tridiag" — it is the identical operator in MXU form."""

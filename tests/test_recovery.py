@@ -85,3 +85,48 @@ def test_process_loss_resume_via_snapshot(tmp_path):
 def test_heartbeat_probe_all_alive():
     devs = jax.devices()[:4]
     assert heartbeat_probe(0, devs) == devs
+
+
+def test_heartbeat_probe_tolerates_transient_failure(monkeypatch):
+    """One flaky heartbeat must NOT shrink the mesh: the probe retries before
+    degrading (ADVICE r2: a single transient exception previously serialized
+    the rest of the solve to one device)."""
+    from diasss_tpu.parallel import distributed
+
+    real = distributed.heartbeat
+    calls = {"n": 0}
+
+    def flaky(mesh, axis="data"):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient collective error")
+        return real(mesh, axis)
+
+    monkeypatch.setattr(distributed, "heartbeat", flaky)
+    devs = jax.devices()[:4]
+    assert heartbeat_probe(0, devs) == devs
+    assert calls["n"] == 2  # failed once, retried, succeeded
+
+
+def test_mesh_regrows_after_temporary_loss():
+    """Devices that come back are re-admitted at the next chunk boundary —
+    the probe sees the FULL original list every time, so a shrink is never
+    permanent; the solve still lands on the uninterrupted optimum."""
+    graph, cfg = _graph(seed=6)
+    ref, _ = solve_pose_graph(graph, cfg)
+
+    def half_down_during_chunk_1(chunk_idx, devices):
+        if chunk_idx == 1:
+            return devices[: len(devices) // 2]
+        return devices
+
+    poses, info, events = elastic_seq_pose_graph_solve(
+        graph, cfg, chunk=2, devices=jax.devices()[:8],
+        probe=half_down_during_chunk_1,
+    )
+    # shrink at chunk 1, re-grow at chunk 2
+    assert (1, 8, 4) in events, events
+    assert (2, 4, 8) in events, events
+    np.testing.assert_allclose(
+        np.asarray(poses.t), np.asarray(ref.t), rtol=0, atol=2e-3
+    )
