@@ -185,7 +185,9 @@ class PoseGraphConfig:
     #   segmented chain preconditioner in MXU form — dense per-segment
     #   inverses built once per LM trial, each PCG application one wide
     #   batched GEMM.
-    # * "auto" picks by backend (PERF.md round-3 shootout).
+    # * "auto" picks by backend (PERF.md round-3 shootout): on TPU, "direct"
+    #   (falling back to "dense_seg" above ~1k LC factors, where the Woodbury
+    #   buffers outgrow their win); "tridiag" elsewhere.
     preconditioner: str = "auto"
     tridiag_segment: int = 256  # segment length for the segment-parallel solve
     seed: int = 0  # initial-noise PRNG seed

@@ -99,7 +99,7 @@ def fast_score_pallas(
         functools.partial(_fast_tile_kernel, threshold=float(threshold), tile=tile),
         out_shape=jax.ShapeDtypeStruct((n_tiles * tile, m), jnp.float32),
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tile, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tile + 8, m), jnp.float32),

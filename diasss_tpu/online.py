@@ -116,14 +116,6 @@ class OnlineSlam:
             # index that JAX clamps silently into an inconsistent graph.
             raise ValueError("window_frames must be >= 2 (the newest frame "
                              "plus at least one estimated boundary frame)")
-        if window_frames is not None and cfg.estimator == "full_ba":
-            raise ValueError(
-                "window_frames currently applies to the two-stage estimator "
-                "only: the joint BA's sonar factors couple (pose_i, pose_j, "
-                "landmark) triples, and freezing arbitrary endpoint poses "
-                "needs per-factor constant-pose support the batched Schur "
-                "solver does not have yet"
-            )
         self.cfg = cfg
         self.bucket = bucket
         self.window_frames = window_frames
@@ -193,14 +185,71 @@ class OnlineSlam:
             R0 = prob.poses0.R.at[:prev_P].set(st.poses.R)
             t0 = prob.poses0.t.at[:prev_P].set(st.poses.t)
             prob = prob._replace(poses0=se3.Pose3(R0, t0))
+
+        # fixed-lag window over the JOINT problem: frames older than the
+        # window freeze; sonar factors with one frozen endpoint keep that
+        # endpoint as an exact constant (BAProblem.kp_*_fix) so their
+        # landmark information survives as a prior-like constraint;
+        # both-frozen factors are fully determined by history and drop.
+        cut_frame = 0
+        if self.window_frames is not None and len(st.frames) > self.window_frames:
+            cut_frame = len(st.frames) - self.window_frames
+        offsets = np.cumsum([0] + [int(f.dr_poses.shape[0]) for f in st.frames])
+        cut = int(offsets[cut_frame])
+        if cut > 0:
+            prob = self._window_ba_problem(prob, cut)
+
         p_real = int(prob.poses0.t.shape[0])
         if self.bucket:
             prob = self._pad_ba_problem(prob)
         poses, _, info = solve_full_ba(prob, ba_cfg, cfg.kp_noise)
-        st.poses = poses[:p_real]
+        win = poses[:p_real]
+        st.poses = _tree_cat(st.poses[:cut], win) if cut > 0 else win
         st.n_lc = int(np.asarray(prob.kp_valid).sum())
         self._last_info = info
         return st.poses
+
+    def _window_ba_problem(self, prob, cut: int):
+        """Restrict a global BAProblem to poses [cut:], freezing endpoints
+        below the cut at their previous estimate (solver shapes = O(window))."""
+        st = self.state
+        kp_i = np.asarray(prob.kp_i)
+        kp_j = np.asarray(prob.kp_j)
+        valid = np.asarray(prob.kp_valid)
+        fix_s = kp_i < cut
+        fix_t = kp_j < cut
+        keep = valid & ~(fix_s & fix_t)  # both-frozen: drop
+        # compact to the kept rows only so K stays bounded by window overlap
+        idx = np.where(keep)[0]
+        if len(idx) == 0:
+            idx = np.array([0])
+            keep_valid = np.zeros(1, bool)
+        else:
+            keep_valid = np.ones(len(idx), bool)
+        fix_s = fix_s[idx]
+        fix_t = fix_t[idx]
+        kp_i = kp_i[idx]
+        kp_j = kp_j[idx]
+        # frozen endpoints: constant pose from the previous estimate
+        frozen = st.poses  # covers every pose below the cut
+        safe_i = np.minimum(kp_i, int(frozen.t.shape[0]) - 1)
+        safe_j = np.minimum(kp_j, int(frozen.t.shape[0]) - 1)
+        pose_s = frozen[jnp.asarray(safe_i)]
+        pose_t = frozen[jnp.asarray(safe_j)]
+        kp_i_new = jnp.asarray(np.where(fix_s, 0, kp_i - cut), jnp.int32)
+        kp_j_new = jnp.asarray(np.where(fix_t, 0, kp_j - cut), jnp.int32)
+
+        sel = jnp.asarray(idx)
+        return prob._replace(
+            poses0=prob.poses0[cut:],
+            odo_meas=prob.odo_meas[cut:],
+            kp_i=kp_i_new, kp_j=kp_j_new,
+            kp_sr_s=prob.kp_sr_s[sel], kp_sr_t=prob.kp_sr_t[sel],
+            kp_valid=jnp.asarray(keep_valid),
+            lm0=prob.lm0[sel], lm_prior=prob.lm_prior[sel],
+            kp_i_fix=jnp.asarray(fix_s), kp_j_fix=jnp.asarray(fix_t),
+            kp_pose_s=pose_s, kp_pose_t=pose_t,
+        )
 
     def _pad_ba_problem(self, prob):
         """Bucket the pose (P) and correspondence (K) axes (class docstring)."""
@@ -216,12 +265,24 @@ class OnlineSlam:
                 [a, jnp.full((k_cap - k, *a.shape[1:]), fill, a.dtype)]
             )
 
+        fixed = {}
+        if prob.kp_i_fix is not None:
+            # padded slots: not fixed, identity constant poses
+            eyepad = se3.identity((max(k_cap - k, 0),), prob.poses0.t.dtype)
+            cat = lambda p: _tree_cat(p, eyepad) if k_cap > k else p
+            fixed = dict(
+                kp_i_fix=zpad(prob.kp_i_fix, False),
+                kp_j_fix=zpad(prob.kp_j_fix, False),
+                kp_pose_s=cat(prob.kp_pose_s),
+                kp_pose_t=cat(prob.kp_pose_t),
+            )
         return prob._replace(
             poses0=poses0, odo_meas=odo_meas,
             kp_i=zpad(prob.kp_i, 0), kp_j=zpad(prob.kp_j, 0),
             kp_sr_s=zpad(prob.kp_sr_s, 1.0), kp_sr_t=zpad(prob.kp_sr_t, 1.0),
             kp_valid=zpad(prob.kp_valid, False),
             lm0=zpad(prob.lm0, 0.0), lm_prior=zpad(prob.lm_prior, 0.0),
+            **fixed,
         )
 
     # --- two-stage estimation: LC mini-solves for new pairs + pose graph ---

@@ -63,8 +63,9 @@ def heartbeat(mesh: "jax.sharding.Mesh", axis: str = "data") -> int:
     devices that participated.
     """
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    from .seq import shard_map
 
     ones = jnp.ones((mesh.devices.size,), jnp.int32)
 

@@ -117,7 +117,7 @@ def ring_geo_nn_search(
 
         # device-invariant init values must be marked varying for the scan
         # carry to type-check under shard_map's manual-axes tracking
-        vary = lambda x: jax.lax.pvary(x, (axis,))
+        vary = lambda x: jax.lax.pcast(x, (axis,), to="varying")
         init = (
             gr,
             dr,

@@ -22,11 +22,12 @@ batches ``(B, 6, 6)``, Hessian block-diagonals, PCG/tridiag state — is
   masked ``psum`` (L = #loop closures, tiny) — every device then evaluates the
   identical L-sized LC algebra and keeps only the rows it owns.  No O(P)
   buffer anywhere.
-* **correspondences** (full BA): the K-sized sonar-factor shard gathers pose
-  entries via ``all_gather`` of the (P, 6) CG direction (24 B/pose — the ONLY
-  O(P) transient; Jacobians stay sharded) and scatters pose contributions back
-  with ``psum_scatter`` over an ``(n, B, 6)`` buffer, so the reduction rides
-  ICI once instead of replicating the pose system.
+* **correspondences** (full BA): owner-aligned — each sonar factor lives on
+  the device owning its SOURCE pose (one build-time ``all_to_all`` reshard,
+  :mod:`.alltoall`), so the source gather is a local read; the TARGET pose
+  endpoint rides a routed ``all_to_all`` exchange of only the unique rows
+  each device pair shares (O(n * Rj) per matvec, Rj <= K/n).  There is no
+  O(P) collective anywhere in the BA solve.
 
 The preconditioner is the segment-parallel block-tridiagonal chain solve
 (:mod:`..solvers.tridiag`) applied per block — device boundaries act as
@@ -408,13 +409,72 @@ def seq_pose_graph_solve(mesh: Mesh, graph: PoseGraph,
 
 
 # ---------------------------------------------------------------------------
-# Full BA: pose chain SP + correspondence/landmark axis sharded
+# Full BA: pose chain SP + owner-aligned correspondence sharding
 # ---------------------------------------------------------------------------
+#
+# Correspondences are RESHARDED onto the device that owns their SOURCE pose
+# block (one all_to_all at problem build, parallel/alltoall.reshard_rows), so
+# per CG matvec the source-pose gather is a LOCAL index read.  The target-pose
+# endpoint still crosses blocks; it is served by a ROUTED exchange built once
+# at problem build: each device pre-computes the UNIQUE pose rows every other
+# device needs from it (``need_idx``, (n, Rj) int32) and each factor's slot in
+# the receive buffer (``recv_slot``); per matvec ONE all_to_all of (n, Rj, 6)
+# rows replaces the former O(P) ``all_gather`` (and its psum_scatter partner —
+# the reverse scatter rides the SAME routing transposed).  Rj = max unique
+# target poses requested over any device pair <= K/n, so communication per
+# matvec is O(n * Rj) instead of O(P).
 
 
-def _pad_ba(prob: BAProblem, n: int):
-    """Pad the chain like :func:`_pad_chain` and the correspondence axis to a
-    mesh multiple (padded slots invalid)."""
+def _simulate_reshard_layout(dest: np.ndarray, valid: np.ndarray, n: int,
+                             capacity: int) -> np.ndarray:
+    """Host-side replica of :func:`..parallel.alltoall.reshard_rows` row
+    placement: returns ``out_orig`` of shape (n * n * capacity,), the ORIGINAL
+    row index occupying each post-reshard slot (-1 = empty).
+
+    Device d's rows are laid out as ``[src_0 lane (capacity), src_1 lane, ...]``
+    with each lane holding the rows source ``a`` sends to ``d`` in ``a``'s
+    stable destination-sorted order — exactly the all_to_all receive layout.
+    Routing tables are derived from this simulation instead of fetching the
+    device output, so the build also works multi-process (where the resharded
+    arrays are not fully addressable from one host).
+    """
+    K = len(dest)
+    pad = (-K) % n
+    dest_p = np.concatenate([dest, np.zeros(pad, dest.dtype)])
+    valid_p = np.concatenate([valid, np.zeros(pad, bool)])
+    kb = (K + pad) // n
+    Kf = n * capacity
+    out_orig = np.full(n * Kf, -1, np.int64)
+    for a in range(n):
+        base = a * kb
+        d_blk = np.where(valid_p[base : base + kb], dest_p[base : base + kb], n)
+        order = np.argsort(d_blk, kind="stable")
+        d_sorted = d_blk[order]
+        for d in range(n):
+            rows = base + order[d_sorted == d]
+            rows = rows[:capacity]  # overflow drops (capacity is sized exact)
+            out_orig[d * Kf + a * capacity : d * Kf + a * capacity + len(rows)] = rows
+    return out_orig
+
+
+def _align_ba(mesh: Mesh, prob: BAProblem, axis: str):
+    """Owner-align a BAProblem over the mesh (build-time, once per problem).
+
+    Returns the padded chain plus the resharded factor arrays and routing
+    tables (see the section comment above).  The float payload moves with ONE
+    device-side all_to_all (:func:`..parallel.alltoall.reshard_rows`); the
+    int32 routing tables are computed host-side from a layout simulation that
+    is bit-equal to the device reshard (tests/test_seq_parallel.py pins this).
+    """
+    from .alltoall import reshard_rows
+
+    if prob.kp_i_fix is not None or prob.kp_j_fix is not None:
+        raise NotImplementedError(
+            "constant-pose (fixed-lag window) factors are a streaming-mode "
+            "feature (online.OnlineSlam); the sequence-parallel batch solver "
+            "expects a fully-free BAProblem"
+        )
+    n = mesh.devices.size
     chain = PoseGraph(
         poses0=prob.poses0, odo_meas=prob.odo_meas, odo_sigmas=prob.odo_sigmas,
         lc_i=jnp.zeros(1, jnp.int32), lc_j=jnp.zeros(1, jnp.int32),
@@ -423,40 +483,96 @@ def _pad_ba(prob: BAProblem, n: int):
         lc_valid=jnp.zeros(1, bool),
     )
     poses0, odo_meas, B, P_pad, P_real = _pad_chain(chain, n)
-    K = int(prob.kp_i.shape[0])
-    Kb = -(-K // n)
-    pad = n * Kb - K
 
-    def zpad(a, fill):
-        if not pad:
-            return a
-        return jnp.concatenate([a, jnp.full((pad, *a.shape[1:]), fill, a.dtype)])
+    kp_i = np.asarray(prob.kp_i, np.int64)
+    kp_j = np.asarray(prob.kp_j, np.int64)
+    valid = np.asarray(prob.kp_valid, bool)
+    K = len(kp_i)
+    dest = np.minimum(kp_i // B, n - 1).astype(np.int32)
 
-    kp = dict(
-        kp_i=zpad(prob.kp_i, 0), kp_j=zpad(prob.kp_j, 0),
-        kp_sr_s=zpad(prob.kp_sr_s, 1.0), kp_sr_t=zpad(prob.kp_sr_t, 1.0),
-        kp_valid=zpad(prob.kp_valid, False),
-        lm0=zpad(prob.lm0, 0.0), lm_prior=zpad(prob.lm_prior, 0.0),
+    # exact per-lane capacity -> reshard_rows drops nothing
+    pad = (-K) % n
+    kb = (K + pad) // n
+    src = np.arange(K) // kb
+    lane = np.zeros((n, n), np.int64)
+    np.add.at(lane, (src[valid], dest[valid]), 1)
+    capacity = max(1, int(lane.max()))
+
+    # device-side payload reshard (ONE all_to_all per leaf)
+    tree = dict(
+        sr_s=prob.kp_sr_s, sr_t=prob.kp_sr_t,
+        lm0=prob.lm0, lm_prior=prob.lm_prior,
     )
-    return poses0, odo_meas, kp, B, Kb, P_pad, P_real
+    out, vout, dropped = reshard_rows(
+        mesh, tree, jnp.asarray(dest), jnp.asarray(valid),
+        capacity=capacity, axis=axis,
+    )
+    if dropped:
+        raise AssertionError(
+            f"owner-align reshard dropped {dropped} rows at exact capacity"
+        )
+
+    # host-side routing tables from the simulated layout
+    out_orig = _simulate_reshard_layout(dest, valid, n, capacity)
+    Kf = n * capacity
+    v_r = out_orig >= 0
+    safe = np.where(v_r, out_orig, 0)
+    kp_i_r = np.where(v_r, kp_i[safe], 0)
+    kp_j_r = np.where(v_r, kp_j[safe], 0)
+    kp_loc_i = (kp_i_r % B).astype(np.int32)
+    owner_j = (kp_j_r // B).astype(np.int32)
+    loc_j = (kp_j_r % B).astype(np.int32)
+
+    uniq_store = {}
+    Rj = 1
+    for d in range(n):
+        sl = slice(d * Kf, (d + 1) * Kf)
+        for a in range(n):
+            m = v_r[sl] & (owner_j[sl] == a)
+            uniq = np.unique(loc_j[sl][m])
+            uniq_store[(a, d)] = uniq
+            Rj = max(Rj, len(uniq))
+    recv_slot = np.zeros(n * Kf, np.int32)
+    for d in range(n):
+        sl = slice(d * Kf, (d + 1) * Kf)
+        slot = np.zeros(Kf, np.int32)
+        for a in range(n):
+            m = v_r[sl] & (owner_j[sl] == a)
+            uniq = uniq_store[(a, d)]
+            if len(uniq):
+                slot[m] = a * Rj + np.searchsorted(uniq, loc_j[sl][m])
+        recv_slot[sl] = slot
+    need_idx = np.zeros((n, n, Rj), np.int32)
+    for (a, d), uniq in uniq_store.items():
+        need_idx[a, d, : len(uniq)] = uniq
+
+    aligned = dict(
+        kp_loc_i=jnp.asarray(kp_loc_i),
+        recv_slot=jnp.asarray(recv_slot),
+        sr_s=out["sr_s"], sr_t=out["sr_t"],
+        kp_valid=vout,
+        lm0=out["lm0"], lm_prior=out["lm_prior"],
+        need_idx=jnp.asarray(need_idx.reshape(n * n, Rj)),
+    )
+    return poses0, odo_meas, aligned, out_orig, B, Kf, Rj, P_real
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "cfg", "kp_cfg", "axis", "B", "Kb", "P_real"),
+    static_argnames=("mesh", "cfg", "kp_cfg", "axis", "B", "Kf", "Rj", "P_real"),
 )
 def _seq_ba_run(poses0, odo_meas, odo_sigmas,
-                kp_i, kp_j, kp_sr_s, kp_sr_t, kp_valid, lm0, lm_prior,
-                lm_prior_sigmas,
+                kp_loc_i, recv_slot, kp_sr_s, kp_sr_t, kp_valid, lm0, lm_prior,
+                need_idx, lm_prior_sigmas,
                 mesh: Mesh, cfg: FullBAConfig, kp_cfg: KeypointNoiseConfig,
-                axis: str, B: int, Kb: int, P_real: int):
+                axis: str, B: int, Kf: int, Rj: int, P_real: int):
     n = mesh.devices.size
     perm_from_next = [((i + 1) % n, i) for i in range(n)]
     perm_to_next = [(i, (i + 1) % n) for i in range(n)]
 
     def solve_blk(poses0_blk, odo_blk, odo_sigmas,
-                  kp_i_b, kp_j_b, sr_s_b, sr_t_b, kv_b, lm0_b, lmp_b,
-                  lm_prior_sigmas):
+                  loc_i_b, slot_b, sr_s_b, sr_t_b, kv_b, lm0_b, lmp_b,
+                  need_b, lm_prior_sigmas):
         d = lax.axis_index(axis)
         gidx = d * B + jnp.arange(B)
         is_pad = gidx >= P_real
@@ -464,11 +580,7 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
         odo_valid = gidx < P_real - 1
         dtype = poses0_blk.t.dtype
         eyeB = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (B, 6, 6))
-
-        kp_owner_i = kp_i_b // B
-        kp_loc_i = kp_i_b % B
-        kp_owner_j = kp_j_b // B
-        kp_loc_j = kp_j_b % B
+        nR = n * Rj
 
         sig_s = jax.vmap(lambda sr: kp_noise_sigmas(sr, kp_cfg.sigma_r, kp_cfg.alpha_bw_deg))(sr_s_b)
         sig_t = jax.vmap(lambda sr: kp_noise_sigmas(sr, kp_cfg.sigma_r, kp_cfg.alpha_bw_deg))(sr_t_b)
@@ -482,22 +594,36 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
                 lambda a, h: jnp.concatenate([a[1:], h]), tree_blk, halo
             )
 
-        def gather_full(tree_blk):
-            """all_gather the pose-block tree to full (P_pad, ...) — used ONLY
-            for 6-float/pose quantities (the documented O(P) transient)."""
-            return jax.tree_util.tree_map(
-                lambda x: lax.all_gather(x, axis, tiled=True), tree_blk
-            )
+        # --- routed j-endpoint exchange (module section comment): the ONLY
+        # cross-device traffic the sonar factors generate, O(n*Rj) per call ---
+        def routed_gather(tree_blk):
+            """Per-factor values of the TARGET pose row: each device sends the
+            (n, Rj) unique rows its peers requested; one all_to_all; factors
+            read their row from the receive buffer at ``slot_b``."""
 
-        def scatter_pose(vals, owner, loc):
-            """(Kb, 6) per-factor pose contributions -> my (B, 6) block sum.
+            def g(x):
+                send = x[need_b]  # (n, Rj, ...)
+                recv = lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
+                return recv.reshape((nR,) + x.shape[1:])[slot_b]
 
-            Every device writes its shard's contributions into an (n, B, 6)
-            buffer by owner; psum_scatter reduces owner-block b onto device b.
-            """
-            buf = jnp.zeros((n, B, vals.shape[-1]), vals.dtype)
-            buf = buf.at[owner, loc].add(vals)
-            return lax.psum_scatter(buf, axis, scatter_dimension=0, tiled=True)[0]
+            return jax.tree_util.tree_map(g, tree_blk)
+
+        def routed_scatter(vals):
+            """Transpose of :func:`routed_gather`: per-factor contributions to
+            the TARGET pose aggregate locally by slot, ride the same all_to_all
+            back, and scatter-add into the owner's block rows."""
+            buf = jax.ops.segment_sum(vals, slot_b, nR)
+            buf = buf.reshape((n, Rj) + vals.shape[1:])
+            got = lax.all_to_all(buf, axis, split_axis=0, concat_axis=0, tiled=True)
+            out = jnp.zeros((B,) + vals.shape[1:], vals.dtype)
+            return out.at[need_b.reshape(-1)].add(got.reshape((nR,) + vals.shape[1:]))
+
+        def local_gather(tree_blk):
+            """Source-pose values: owner-aligned, a plain local index read."""
+            return jax.tree_util.tree_map(lambda x: x[loc_i_b], tree_blk)
+
+        def local_scatter(vals):
+            return jax.ops.segment_sum(vals, loc_i_b, B)
 
         def fix_vec(v):
             return jnp.where(fix_rows[:, None], 0.0, v)
@@ -507,7 +633,8 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
             xj = shifted(poses_blk)
             r_o = jax.vmap(between_residual)(poses_blk, xj, odo_blk) / odo_sigmas
             r_o = jnp.where(odo_valid[:, None], r_o, 0.0)
-            poses_full = gather_full(poses_blk)
+            pose_i = local_gather(poses_blk)
+            pose_j = routed_gather(poses_blk)
             Ts = se3.identity(dtype=dtype)
 
             def kp_res(pose, lm, sr, sig):
@@ -516,8 +643,8 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
                 m = jnp.stack([sr, jnp.zeros_like(sr)])
                 return sss_point_residual(lm, pose, Ts, m) / sig
 
-            r_s = jax.vmap(kp_res)(poses_full[kp_i_b], lms_b, sr_s_b, sig_s)
-            r_t = jax.vmap(kp_res)(poses_full[kp_j_b], lms_b, sr_t_b, sig_t)
+            r_s = jax.vmap(kp_res)(pose_i, lms_b, sr_s_b, sig_s)
+            r_t = jax.vmap(kp_res)(pose_j, lms_b, sr_t_b, sig_t)
             r_pr = (lms_b - lmp_b) / lm_prior_sigmas
             v = kv_b[:, None]
             r_s = jnp.where(v, r_s, 0.0)
@@ -544,13 +671,14 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
             Ja = Ja * w[..., None]
             Jb = Jb * w[..., None]
 
-            # --- sonar factor linearization on my correspondence shard ---
-            poses_full = gather_full(poses_blk)  # O(P) 12-float transient
+            # --- sonar factor linearization on my owner-aligned shard ---
+            pose_i = local_gather(poses_blk)
+            pose_j = routed_gather(poses_blk)  # O(n*Rj) 12-float exchange
             r_s, Jp_s, Jl_s = jax.vmap(_sss_factor_terms)(
-                poses_full[kp_i_b], lms_b, sr_s_b, sig_s
+                pose_i, lms_b, sr_s_b, sig_s
             )
             r_t, Jp_t, Jl_t = jax.vmap(_sss_factor_terms)(
-                poses_full[kp_j_b], lms_b, sr_t_b, sig_t
+                pose_j, lms_b, sr_t_b, sig_t
             )
             vmask = kv_b
             r_s = jnp.where(vmask[:, None], r_s, 0.0)
@@ -565,7 +693,7 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
             Jl_t = jnp.where(vmask[:, None, None], Jl_t * w_t[:, None, None], 0.0)
             r_pr = jnp.where(vmask[:, None], (lms_b - lmp_b) / lm_prior_sigmas, 0.0)
             Jl_pr = (
-                jnp.broadcast_to(jnp.eye(3, dtype=dtype), (Kb, 3, 3))
+                jnp.broadcast_to(jnp.eye(3, dtype=dtype), (Kf, 3, 3))
                 / lm_prior_sigmas[None, :, None]
             ) * w_kp[:, None, None]
 
@@ -574,10 +702,10 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
             cb = jnp.einsum("kab,ka->kb", Jb, r_o, precision=_HI)
             g_p = g_p.at[1:].add(cb[:-1])
             g_p = g_p.at[0:1].add(lax.ppermute(cb[-1:], axis, perm_to_next))
-            g_p = g_p + scatter_pose(
-                jnp.einsum("kab,ka->kb", Jp_s, r_s, precision=_HI), kp_owner_i, kp_loc_i
-            ) + scatter_pose(
-                jnp.einsum("kab,ka->kb", Jp_t, r_t, precision=_HI), kp_owner_j, kp_loc_j
+            g_p = g_p + local_scatter(
+                jnp.einsum("kab,ka->kb", Jp_s, r_s, precision=_HI)
+            ) + routed_scatter(
+                jnp.einsum("kab,ka->kb", Jp_t, r_t, precision=_HI)
             )
             g_l = (
                 jnp.einsum("kab,ka->kb", Jl_s, r_s, precision=_HI)
@@ -590,13 +718,11 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
             Djj = jnp.einsum("kab,kac->kbc", Jb, Jb, precision=_HI)
             D_p = D_p.at[1:].add(Djj[:-1])
             D_p = D_p.at[0:1].add(lax.ppermute(Djj[-1:], axis, perm_to_next))
-            D_p = D_p + scatter_pose(
-                jnp.einsum("kab,kac->kbc", Jp_s, Jp_s, precision=_HI).reshape(Kb, 36),
-                kp_owner_i, kp_loc_i,
-            ).reshape(B, 6, 6) + scatter_pose(
-                jnp.einsum("kab,kac->kbc", Jp_t, Jp_t, precision=_HI).reshape(Kb, 36),
-                kp_owner_j, kp_loc_j,
-            ).reshape(B, 6, 6)
+            D_p = D_p + local_scatter(
+                jnp.einsum("kab,kac->kbc", Jp_s, Jp_s, precision=_HI)
+            ) + routed_scatter(
+                jnp.einsum("kab,kac->kbc", Jp_t, Jp_t, precision=_HI)
+            )
             H_ll = (
                 jnp.einsum("kab,kac->kbc", Jl_s, Jl_s, precision=_HI)
                 + jnp.einsum("kab,kac->kbc", Jl_t, Jl_t, precision=_HI)
@@ -619,16 +745,13 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
             # --- Schur-reduced gradient ---
             y = ll_solve(g_l)
             g_red = g_p - (
-                scatter_pose(
-                    jnp.einsum("kac,kc->ka", Hpl_s, y, precision=_HI), kp_owner_i, kp_loc_i
-                )
-                + scatter_pose(
-                    jnp.einsum("kac,kc->ka", Hpl_t, y, precision=_HI), kp_owner_j, kp_loc_j
-                )
+                local_scatter(jnp.einsum("kac,kc->ka", Hpl_s, y, precision=_HI))
+                + routed_scatter(jnp.einsum("kac,kc->ka", Hpl_t, y, precision=_HI))
             )
             g_red = jnp.where(fix_rows[:, None], 0.0, g_red)
 
-            # --- Schur matvec ---
+            # --- Schur matvec: chain halo + ONE routed gather + ONE routed
+            # scatter — no O(P) collective anywhere ---
             def matvec(v):
                 v = fix_vec(v)
                 v_next = halo_next(v[0:1])
@@ -640,25 +763,18 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
                 cc = jnp.einsum("kab,ka->kb", Jb, a, precision=_HI)
                 out = out.at[1:].add(cc[:-1])
                 out = out.at[0:1].add(lax.ppermute(cc[-1:], axis, perm_to_next))
-                v_full = lax.all_gather(v, axis, tiled=True)  # O(P) 6-float transient
-                b_s = jnp.einsum("kab,kb->ka", Jp_s, v_full[kp_i_b], precision=_HI)
-                b_t = jnp.einsum("kab,kb->ka", Jp_t, v_full[kp_j_b], precision=_HI)
-                out = out + scatter_pose(
-                    jnp.einsum("kab,ka->kb", Jp_s, b_s, precision=_HI), kp_owner_i, kp_loc_i
-                ) + scatter_pose(
-                    jnp.einsum("kab,ka->kb", Jp_t, b_t, precision=_HI), kp_owner_j, kp_loc_j
-                )
+                b_s = jnp.einsum("kab,kb->ka", Jp_s, v[loc_i_b], precision=_HI)
+                b_t = jnp.einsum("kab,kb->ka", Jp_t, routed_gather(v), precision=_HI)
                 wv = jnp.einsum("kab,ka->kb", Jl_s, b_s, precision=_HI) + jnp.einsum(
                     "kab,ka->kb", Jl_t, b_t, precision=_HI
                 )
                 yv = ll_solve(wv)
-                out = out - (
-                    scatter_pose(
-                        jnp.einsum("kac,kc->ka", Hpl_s, yv, precision=_HI), kp_owner_i, kp_loc_i
-                    )
-                    + scatter_pose(
-                        jnp.einsum("kac,kc->ka", Hpl_t, yv, precision=_HI), kp_owner_j, kp_loc_j
-                    )
+                out = out + local_scatter(
+                    jnp.einsum("kab,ka->kb", Jp_s, b_s, precision=_HI)
+                    - jnp.einsum("kac,kc->ka", Hpl_s, yv, precision=_HI)
+                ) + routed_scatter(
+                    jnp.einsum("kab,ka->kb", Jp_t, b_t, precision=_HI)
+                    - jnp.einsum("kac,kc->ka", Hpl_t, yv, precision=_HI)
                 )
                 out = out + lam * jnp.einsum("pab,pb->pa", D_p, v, precision=_HI)
                 return jnp.where(fix_rows[:, None], v, out)
@@ -667,13 +783,11 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
             # diagonal correction (clamped SPD, same scheme as solve_full_ba) ---
             X_s = ll_solve(Hpl_s.swapaxes(-1, -2))
             X_t = ll_solve(Hpl_t.swapaxes(-1, -2))
-            S_corr = scatter_pose(
-                jnp.einsum("kac,kcb->kab", Hpl_s, X_s, precision=_HI).reshape(Kb, 36),
-                kp_owner_i, kp_loc_i,
-            ).reshape(B, 6, 6) + scatter_pose(
-                jnp.einsum("kac,kcb->kab", Hpl_t, X_t, precision=_HI).reshape(Kb, 36),
-                kp_owner_j, kp_loc_j,
-            ).reshape(B, 6, 6)
+            S_corr = local_scatter(
+                jnp.einsum("kac,kcb->kab", Hpl_s, X_s, precision=_HI)
+            ) + routed_scatter(
+                jnp.einsum("kac,kcb->kab", Hpl_t, X_t, precision=_HI)
+            )
             Dp_damped = D_p * (1.0 + lam) - S_corr
             Dp_damped = jnp.where(fix_rows[:, None, None], eyeB, Dp_damped)
             Dp_damped = Dp_damped + 1e-5 * jnp.eye(6, dtype=dtype)
@@ -728,9 +842,8 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
             delta_p = fix_vec(delta_p)
 
             # --- landmark back-substitution (needs delta at kp endpoints) ---
-            dp_full = lax.all_gather(delta_p, axis, tiled=True)
-            hv = jnp.einsum("kab,kb->ka", Jp_s, dp_full[kp_i_b], precision=_HI)
-            ht = jnp.einsum("kab,kb->ka", Jp_t, dp_full[kp_j_b], precision=_HI)
+            hv = jnp.einsum("kab,kb->ka", Jp_s, delta_p[loc_i_b], precision=_HI)
+            ht = jnp.einsum("kab,kb->ka", Jp_t, routed_gather(delta_p), precision=_HI)
             w2 = jnp.einsum("kab,ka->kb", Jl_s, hv, precision=_HI) + jnp.einsum(
                 "kab,ka->kb", Jl_t, ht, precision=_HI
             )
@@ -789,36 +902,47 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
         in_specs=(
             P(axis), P(axis), P(),
             P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+            P(axis),
             P(),
         ),
         out_specs=(P(axis), P(axis), P()),
         check_rep=False,
     )
     return fn(poses0, odo_meas, odo_sigmas,
-              kp_i, kp_j, kp_sr_s, kp_sr_t, kp_valid, lm0, lm_prior,
-              lm_prior_sigmas)
+              kp_loc_i, recv_slot, kp_sr_s, kp_sr_t, kp_valid, lm0, lm_prior,
+              need_idx, lm_prior_sigmas)
 
 
 def seq_full_ba_solve(mesh: Mesh, prob: BAProblem,
                       cfg: FullBAConfig = FullBAConfig(),
                       kp_cfg: KeypointNoiseConfig = KeypointNoiseConfig(),
                       axis: str = "data"):
-    """Joint Schur-complement BA with pose chain SP + correspondence axis DP.
+    """Joint Schur-complement BA: pose chain SP + owner-aligned correspondences.
 
-    Per-device memory: O(P/n) for every pose-chain tensor (poses, odometry
-    Jacobians, block diagonal, tridiag state), O(K/n) for every
-    correspondence/landmark tensor; the only O(P) object is the transient
-    all_gather of 6-float CG vectors.  Same fixed point as
+    Correspondences are resharded onto their source-pose owners at problem
+    build (ONE ``all_to_all``, :func:`..parallel.alltoall.reshard_rows`); the
+    target-pose endpoint rides a routed all_to_all exchange of only the unique
+    rows each device pair actually shares (see the section comment above).
+    Per-device memory: O(P/n) for every pose-chain tensor, O(K/n) for every
+    correspondence/landmark tensor; per-matvec communication O(n * Rj) — there
+    is NO O(P) collective anywhere in the solve.  Same fixed point as
     :func:`..solvers.full_ba.solve_full_ba` up to CG tolerance.
-    Returns ``(poses, landmarks, BAInfo)``.
+    Returns ``(poses, landmarks, BAInfo)`` with landmarks in the caller's
+    original factor order.
     """
     n = mesh.devices.size
-    poses0, odo_meas, kp, B, Kb, P_pad, P_real = _pad_ba(prob, n)
+    poses0, odo_meas, aligned, out_orig, B, Kf, Rj, P_real = _align_ba(mesh, prob, axis)
     K_real = int(prob.kp_i.shape[0])
-    poses_pad, lms_pad, info = _seq_ba_run(
+    poses_pad, lms_aligned, info = _seq_ba_run(
         poses0, odo_meas, prob.odo_sigmas,
-        kp["kp_i"], kp["kp_j"], kp["kp_sr_s"], kp["kp_sr_t"], kp["kp_valid"],
-        kp["lm0"], kp["lm_prior"], prob.lm_prior_sigmas,
-        mesh, cfg, kp_cfg, axis, B, Kb, P_real,
+        aligned["kp_loc_i"], aligned["recv_slot"], aligned["sr_s"],
+        aligned["sr_t"], aligned["kp_valid"], aligned["lm0"],
+        aligned["lm_prior"], aligned["need_idx"], prob.lm_prior_sigmas,
+        mesh, cfg, kp_cfg, axis, B, Kf, Rj, P_real,
     )
-    return poses_pad[:P_real], lms_pad[:K_real], info
+    # un-permute landmarks back to the caller's factor order (invalid rows
+    # keep their initialization, matching the single-device solver)
+    lms = np.array(np.asarray(prob.lm0), copy=True)
+    occupied = out_orig >= 0
+    lms[out_orig[occupied]] = np.asarray(lms_aligned)[occupied]
+    return poses_pad[:P_real], jnp.asarray(lms), info

@@ -53,6 +53,16 @@ class BAProblem(NamedTuple):
     lm0: jnp.ndarray  # (K, 3) landmark initializations
     lm_prior: jnp.ndarray  # (K, 3) prior centers (= lm0)
     lm_prior_sigmas: jnp.ndarray  # (3,)
+    # --- optional per-factor CONSTANT-pose endpoints (fixed-lag streaming:
+    # a frozen pose outside the window stays in the factor as an exact
+    # constant, so its sonar residual becomes a pure landmark constraint —
+    # the "marginalize frozen-frame landmarks into priors" mechanism).  When
+    # kp_{i,j}_fix[k] is True the factor evaluates at kp_pose_{s,t}[k] instead
+    # of poses[kp_{i,j}[k]] and its pose Jacobian block is zero.
+    kp_i_fix: jnp.ndarray = None  # (K,) bool, or None (all endpoints free)
+    kp_j_fix: jnp.ndarray = None  # (K,) bool
+    kp_pose_s: se3.Pose3 = None  # (K,) constant source poses where kp_i_fix
+    kp_pose_t: se3.Pose3 = None  # (K,) constant target poses where kp_j_fix
 
 
 class BAInfo(NamedTuple):
@@ -76,6 +86,25 @@ def _sss_factor_terms(pose: se3.Pose3, lm: jnp.ndarray, sr: jnp.ndarray, sigmas)
     Jp = jax.jacfwd(f, argnums=0)(jnp.zeros(6, lm.dtype), jnp.zeros(3, lm.dtype))
     Jl = jax.jacfwd(f, argnums=1)(jnp.zeros(6, lm.dtype), jnp.zeros(3, lm.dtype))
     return r, Jp, Jl
+
+
+def _tree_where(mask, a, b):
+    """Row-wise tree select: mask (K,), leaves (K, ...)."""
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(mask.reshape((-1,) + (1,) * (x.ndim - 1)), x, y), a, b
+    )
+
+
+def _endpoint_poses(poses: se3.Pose3, prob: BAProblem):
+    """Effective per-factor endpoint poses: the optimized pose, or the
+    constant (frozen) pose where a fix mask is set."""
+    pi = poses[prob.kp_i]
+    pj = poses[prob.kp_j]
+    if prob.kp_i_fix is not None:
+        pi = _tree_where(prob.kp_i_fix, prob.kp_pose_s, pi)
+    if prob.kp_j_fix is not None:
+        pj = _tree_where(prob.kp_j_fix, prob.kp_pose_t, pj)
+    return pi, pj
 
 
 def _huber_rho(sq_norm: jnp.ndarray, delta: float) -> jnp.ndarray:
@@ -108,8 +137,9 @@ def _ba_error(poses: se3.Pose3, lms: jnp.ndarray, prob: BAProblem, kp_cfg, huber
         sig = kp_noise_sigmas(sr, kp_cfg.sigma_r, kp_cfg.alpha_bw_deg)
         return sss_point_residual(lm, pose, Ts, m) / sig
 
-    r_s = jax.vmap(kp_res)(poses[prob.kp_i], lms, prob.kp_sr_s)
-    r_t = jax.vmap(kp_res)(poses[prob.kp_j], lms, prob.kp_sr_t)
+    pose_i, pose_j = _endpoint_poses(poses, prob)
+    r_s = jax.vmap(kp_res)(pose_i, lms, prob.kp_sr_s)
+    r_t = jax.vmap(kp_res)(pose_j, lms, prob.kp_sr_t)
     r_pr = (lms - prob.lm_prior) / prob.lm_prior_sigmas
     # where-mask (not multiply): padded slots can hold inf/nan residuals
     v = prob.kp_valid[:, None]
@@ -154,12 +184,20 @@ def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg, lam0=None,
             jnp.broadcast_to(prob.odo_sigmas, (P - 1, 6)),
         )
 
+        pose_i, pose_j = _endpoint_poses(poses, prob)
         r_s, Jp_s, Jl_s = jax.vmap(_sss_factor_terms)(
-            poses[prob.kp_i], lms, prob.kp_sr_s, sig_s
+            pose_i, lms, prob.kp_sr_s, sig_s
         )
         r_t, Jp_t, Jl_t = jax.vmap(_sss_factor_terms)(
-            poses[prob.kp_j], lms, prob.kp_sr_t, sig_t
+            pose_j, lms, prob.kp_sr_t, sig_t
         )
+        # constant-pose endpoints: the pose block does not vary -> zero its
+        # Jacobian (every gradient/Hessian/Schur scatter of this factor's
+        # pose side vanishes; the landmark side remains a live constraint)
+        if prob.kp_i_fix is not None:
+            Jp_s = jnp.where(prob.kp_i_fix[:, None, None], 0.0, Jp_s)
+        if prob.kp_j_fix is not None:
+            Jp_t = jnp.where(prob.kp_j_fix[:, None, None], 0.0, Jp_t)
         vmask = prob.kp_valid
         r_s = jnp.where(vmask[:, None], r_s, 0.0)
         r_t = jnp.where(vmask[:, None], r_t, 0.0)
@@ -571,8 +609,13 @@ def estimate_pose_variances(
         poses[idx_a], poses[idx_b], prob.odo_meas,
         jnp.broadcast_to(prob.odo_sigmas, (P - 1, 6)),
     )
-    _, Jp_s, Jl_s = jax.vmap(_sss_factor_terms)(poses[prob.kp_i], lms, prob.kp_sr_s, sig_s)
-    _, Jp_t, Jl_t = jax.vmap(_sss_factor_terms)(poses[prob.kp_j], lms, prob.kp_sr_t, sig_t)
+    _pi, _pj = _endpoint_poses(poses, prob)
+    _, Jp_s, Jl_s = jax.vmap(_sss_factor_terms)(_pi, lms, prob.kp_sr_s, sig_s)
+    _, Jp_t, Jl_t = jax.vmap(_sss_factor_terms)(_pj, lms, prob.kp_sr_t, sig_t)
+    if prob.kp_i_fix is not None:
+        Jp_s = jnp.where(prob.kp_i_fix[:, None, None], 0.0, Jp_s)
+    if prob.kp_j_fix is not None:
+        Jp_t = jnp.where(prob.kp_j_fix[:, None, None], 0.0, Jp_t)
     vmask = prob.kp_valid
     Jp_s = jnp.where(vmask[:, None, None], Jp_s, 0.0)
     Jp_t = jnp.where(vmask[:, None, None], Jp_t, 0.0)

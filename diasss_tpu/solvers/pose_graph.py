@@ -43,6 +43,7 @@ from ..factors.between import between_residual
 from ..geometry import se3
 
 _HI = jax.lax.Precision.HIGHEST
+_DEFP = jax.lax.Precision.DEFAULT  # see _direct_lm_step docstring
 
 
 class PoseGraph(NamedTuple):
@@ -175,6 +176,13 @@ def _direct_lm_step(graph, idx_i, idx_j, Ji, Jj, g, D, lam, P, L_lc):
     Gauge handling matches the PCG path (pose 0 fixed): chain coupling U[0]
     and every LC Jacobian block touching pose 0 are zeroed, row 0 of T' is
     decoupled, so ``delta[0] == 0`` exactly (g[0] is already zero).
+
+    Precision: this step runs its einsums at DEFAULT matmul precision, not
+    the _HI the PCG matvec uses — measured on TPU v5e (P=3000, L=5): HIGHEST
+    413 ms/step vs DEFAULT 33 ms (12x; XLA's HIGHEST lowering of the tiny
+    6x6-batched contractions defeats vectorization).  The LM accept gate
+    re-evaluates the TRUE error after every step, so a slightly inexact
+    direct step costs at most an extra trial, never a wrong fixed point.
     """
     from .tridiag import (
         solve_block_tridiag,
@@ -196,11 +204,11 @@ def _direct_lm_step(graph, idx_i, idx_j, Ji, Jj, g, D, lam, P, L_lc):
     dtype = D.dtype
     eye6 = jnp.eye(6, dtype=dtype)
     Ji_o, Jj_o = Ji[: P - 1], Jj[: P - 1]
-    U = jnp.einsum("fab,fac->fbc", Ji_o, Jj_o, precision=_HI).at[0].set(0.0)
+    U = jnp.einsum("fab,fac->fbc", Ji_o, Jj_o, precision=_DEFP).at[0].set(0.0)
     D_odo = jax.ops.segment_sum(
-        jnp.einsum("fab,fac->fbc", Ji_o, Ji_o, precision=_HI), idx_i[: P - 1], P
+        jnp.einsum("fab,fac->fbc", Ji_o, Ji_o, precision=_DEFP), idx_i[: P - 1], P
     ) + jax.ops.segment_sum(
-        jnp.einsum("fab,fac->fbc", Jj_o, Jj_o, precision=_HI), idx_j[: P - 1], P
+        jnp.einsum("fab,fac->fbc", Jj_o, Jj_o, precision=_DEFP), idx_j[: P - 1], P
     )
     D_odo = D_odo.at[0].set(eye6)
     T_diag = D_odo + lam * D + 1e-6 * eye6
@@ -219,9 +227,9 @@ def _direct_lm_step(graph, idx_i, idx_j, Ji, Jj, g, D, lam, P, L_lc):
     onehot_i = (graph.lc_i[:, None] == jnp.arange(P)[None, :]).astype(dtype)  # (L, P)
     onehot_j = (graph.lc_j[:, None] == jnp.arange(P)[None, :]).astype(dtype)
     V = jnp.einsum(
-        "lp,lba->pbla", onehot_i, jnp.swapaxes(Ji_l, -1, -2), precision=_HI
+        "lp,lba->pbla", onehot_i, jnp.swapaxes(Ji_l, -1, -2), precision=_DEFP
     ) + jnp.einsum(
-        "lp,lba->pbla", onehot_j, jnp.swapaxes(Jj_l, -1, -2), precision=_HI
+        "lp,lba->pbla", onehot_j, jnp.swapaxes(Jj_l, -1, -2), precision=_DEFP
     )
 
     B = jnp.concatenate([(-g)[:, :, None], V.reshape(P, 6, 6 * L_lc)], axis=2)
@@ -229,17 +237,17 @@ def _direct_lm_step(graph, idx_i, idx_j, Ji, Jj, g, D, lam, P, L_lc):
     w0, Wv = W[:, :, 0], W[:, :, 1:]
 
     # capacitance C = I + V^T T'^-1 V, assembled by gathering W at the LC poses
-    AW = jnp.einsum("lab,lbr->lar", Ji_l, Wv[graph.lc_i], precision=_HI) + jnp.einsum(
-        "lab,lbr->lar", Jj_l, Wv[graph.lc_j], precision=_HI
+    AW = jnp.einsum("lab,lbr->lar", Ji_l, Wv[graph.lc_i], precision=_DEFP) + jnp.einsum(
+        "lab,lbr->lar", Jj_l, Wv[graph.lc_j], precision=_DEFP
     )
     C = AW.reshape(6 * L_lc, 6 * L_lc) + jnp.eye(6 * L_lc, dtype=dtype)
     c0 = (
-        jnp.einsum("lab,lb->la", Ji_l, w0[graph.lc_i], precision=_HI)
-        + jnp.einsum("lab,lb->la", Jj_l, w0[graph.lc_j], precision=_HI)
+        jnp.einsum("lab,lb->la", Ji_l, w0[graph.lc_i], precision=_DEFP)
+        + jnp.einsum("lab,lb->la", Jj_l, w0[graph.lc_j], precision=_DEFP)
     ).reshape(-1)
     Lc = jnp.linalg.cholesky(0.5 * (C + C.T))
     y = jax.scipy.linalg.cho_solve((Lc, True), c0)
-    delta = w0 - jnp.einsum("pbr,r->pb", Wv, y, precision=_HI)
+    delta = w0 - jnp.einsum("pbr,r->pb", Wv, y, precision=_DEFP)
     return delta.at[0].set(0.0)
 
 
@@ -416,13 +424,21 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig(),
     kind = cfg.preconditioner
     if kind == "auto":
         # trace-time platform choice (see PoseGraphConfig.preconditioner).
-        # Measured at P=3000 on TPU v5e (PERF.md round-2): jacobi 0.77 s but
-        # stalls at err 4.3e-3; dense_seg (segment capped at 64 on TPU,
-        # tridiag.auto_dense_segment) reaches 3.2e-3 in 1.8 s.  A two-phase
-        # jacobi->dense hybrid was tried and REJECTED: 1.74 s to a slightly
-        # worse optimum — jacobi's CG iterations cost nearly the dense trials
-        # they replace, since the factor-wise matvec dominates both.
-        kind = "dense_seg" if jax.default_backend() == "tpu" else "tridiag"
+        # TPU: the exact direct Woodbury chain step wins outright at survey
+        # scale — measured P=3000/L=5 on v5e (scripts/profile_direct.py,
+        # round 3): direct 99 ms (12 LM trials, ZERO CG) vs dense_seg PCG
+        # 1793 ms (11 LM, 2252 CG), identical optimum (49.7 vs 49.69).
+        # Guard: the Woodbury multi-RHS buffers are (P, 6, 6L+1) floats and
+        # the capacitance Cholesky is (6L)^3 — beyond ~1k LC factors the PCG
+        # path's memory profile is safer, so "auto" falls back to dense_seg
+        # there (pick "direct" explicitly to override).
+        # Round-2 notes (still true for the PCG family): jacobi 0.77 s but
+        # stalls at err 4.3e-3; jacobi->dense hybrid tried and REJECTED.
+        if jax.default_backend() == "tpu":
+            mem_ok = P * 6 * (6 * L_lc + 1) * 4 * 3 < 4e9  # V+B+W transients
+            kind = "direct" if (L_lc <= 1024 and mem_ok) else "dense_seg"
+        else:
+            kind = "tridiag"
 
     lam_init = jnp.asarray(1e-4, dtype) if lam0 is None else jnp.asarray(lam0, dtype)
     stall_init = (

@@ -235,3 +235,101 @@ def test_online_fixed_lag_window():
     assert ate_win < ate_dr, (ate_win, ate_dr)
     # fixed-lag pays an accuracy price vs full smoothing, but stays close
     assert ate_win < 2.0 * ate_full + 0.1, (ate_win, ate_full)
+
+
+def test_online_fixed_lag_window_full_ba():
+    """Fixed-lag window over the JOINT BA (VERDICT r2 item 4): solver shapes
+    bounded at O(window), frozen history never moves, frozen-endpoint sonar
+    factors survive as constant-pose landmark constraints, and accuracy stays
+    near the unwindowed streaming full BA."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from diasss_tpu.config import PoseGraphConfig
+    from diasss_tpu.geometry import se3 as _se3
+    from diasss_tpu.solvers.full_ba import solve_full_ba
+
+    survey = make_survey(n_lines=4, n_pings=150, n_bins=512, n_landmarks=40,
+                         seed=7, n_tie_lines=1)
+    frames = [
+        build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+        for l in survey.lines
+    ]
+    gt_all = np.concatenate([l.gt_poses for l in survey.lines])
+    cfg = dataclasses.replace(
+        PipelineConfig(),
+        estimator="full_ba",
+        pose_graph=PoseGraphConfig(init_noise_xyz=0.0, init_noise_rpy_deg=0.0),
+    )
+
+    full = OnlineSlam(cfg)
+    for f in frames:
+        poses_full = full.add_frame(f)
+
+    win = OnlineSlam(cfg, window_frames=2)
+    c0 = solve_full_ba._cache_size()
+    frozen_snapshot = None
+    for k, f in enumerate(frames):
+        poses_win = win.add_frame(f)
+        if k == 2:
+            frozen_snapshot = np.asarray(poses_win.t[:150]).copy()
+    np.testing.assert_array_equal(np.asarray(poses_win.t[:150]), frozen_snapshot)
+    # bounded compile count: window problems share one bucketed shape family
+    assert solve_full_ba._cache_size() - c0 <= 3
+    assert poses_win.t.shape[0] == sum(len(l.dr_poses) for l in survey.lines)
+
+    dr_all = np.concatenate([l.dr_poses for l in survey.lines])
+    ate_dr = trajectory_ate(
+        _se3.from_rodrigues_xyz(jnp.asarray(dr_all, jnp.float32)), gt_all
+    )
+    ate_win = trajectory_ate(poses_win, gt_all)
+    ate_full = trajectory_ate(poses_full, gt_all)
+    assert ate_win < ate_dr, (ate_win, ate_dr)
+    # fixed-lag pays an accuracy price vs full smoothing, but stays close
+    assert ate_win < 2.0 * ate_full + 0.2, (ate_win, ate_full)
+
+
+def test_window_ba_constant_pose_factors_constrain_landmarks():
+    """A factor with one frozen endpoint must still constrain its landmark:
+    the windowed problem carries it with kp_*_fix set, not dropped."""
+    import dataclasses
+
+    from diasss_tpu.config import PoseGraphConfig
+
+    survey = make_survey(n_lines=3, n_pings=120, n_bins=512, n_landmarks=30,
+                         seed=3, n_tie_lines=1)
+    frames = [
+        build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+        for l in survey.lines
+    ]
+    cfg = dataclasses.replace(
+        PipelineConfig(),
+        estimator="full_ba",
+        pose_graph=PoseGraphConfig(init_noise_xyz=0.0, init_noise_rpy_deg=0.0),
+    )
+    win = OnlineSlam(cfg, window_frames=2, bucket=False)
+    probs = []
+    from diasss_tpu.solvers import full_ba as fba
+
+    orig = fba.solve_full_ba
+
+    def capture(prob, *a, **k):
+        probs.append(prob)
+        return orig(prob, *a, **k)
+
+    import diasss_tpu.online as online_mod
+
+    # OnlineSlam imports solve_full_ba inside the method, patch the module attr
+    fba.solve_full_ba = capture
+    try:
+        for f in frames:
+            win.add_frame(f)
+    finally:
+        fba.solve_full_ba = orig
+    last = probs[-1]
+    assert last.kp_i_fix is not None
+    n_fixed = int(np.asarray(last.kp_i_fix).sum() + np.asarray(last.kp_j_fix).sum())
+    assert n_fixed > 0  # boundary-crossing factors kept as constant-pose
+    # window chain is O(window): 2 frames x 120 pings
+    assert last.poses0.t.shape[0] == 240

@@ -131,3 +131,45 @@ class TestSeqFullBA:
         np.testing.assert_allclose(
             np.asarray(lms_sp)[valid], np.asarray(lms_ref)[valid], atol=5e-2
         )
+
+    @pytest.mark.parametrize("n_dev", [2, 4])
+    def test_mesh_size_invariance(self, ba_problem, n_dev):
+        """Owner-aligned routing differs per mesh size; the fixed point must not."""
+        from diasss_tpu.solvers.full_ba import solve_full_ba
+
+        prob, ba = ba_problem
+        kp_cfg = KeypointNoiseConfig()
+        poses_ref, lms_ref, _ = solve_full_ba(prob, ba, kp_cfg)
+        poses_sp, lms_sp, _ = seq_full_ba_solve(make_mesh(n_dev), prob, ba, kp_cfg)
+        np.testing.assert_allclose(np.asarray(poses_sp.t), np.asarray(poses_ref.t), atol=3e-3)
+        valid = np.asarray(prob.kp_valid)
+        np.testing.assert_allclose(
+            np.asarray(lms_sp)[valid], np.asarray(lms_ref)[valid], atol=5e-2
+        )
+
+
+class TestReshardLayoutSimulation:
+    """The owner-align build derives routing tables from a HOST simulation of
+    reshard_rows' row placement (multihost-safe); pin sim == device layout."""
+
+    @pytest.mark.parametrize("seed,k,n_dev", [(0, 257, 8), (1, 64, 4), (2, 500, 8)])
+    def test_simulation_matches_device_reshard(self, seed, k, n_dev):
+        from diasss_tpu.parallel.alltoall import reshard_rows
+        from diasss_tpu.parallel.seq import _simulate_reshard_layout
+
+        rng = np.random.default_rng(seed)
+        dest = rng.integers(0, n_dev, k).astype(np.int32)
+        valid = rng.random(k) > 0.15
+        capacity = int(max(1, np.bincount(dest[valid], minlength=n_dev).max()))
+        mesh = make_mesh(n_dev)
+        keys = jnp.arange(k, dtype=jnp.int32)
+        out, vout, dropped = reshard_rows(
+            mesh, {"key": keys}, jnp.asarray(dest), jnp.asarray(valid),
+            capacity=capacity,
+        )
+        assert dropped == 0
+        out_orig = _simulate_reshard_layout(dest, valid, n_dev, capacity)
+        got_keys = np.asarray(out["key"])
+        got_valid = np.asarray(vout)
+        np.testing.assert_array_equal(got_valid, out_orig >= 0)
+        np.testing.assert_array_equal(got_keys[got_valid], out_orig[out_orig >= 0])
