@@ -9,12 +9,20 @@ execution path, not a wrapper:
     python -m diasss_tpu.parallel.multihost_check \
         --coordinator HOST:PORT --num-processes N --process-id R
 
-Every process builds the IDENTICAL synthetic pose-graph problem, solves it
-twice — single-device locally, and sequence-parallel over the GLOBAL mesh
-(pose chain block-partitioned across all processes' devices, halo exchange and
-LC psums riding the cross-process collective backend: Gloo on CPU, ICI/DCN on
-TPU) — gathers the distributed result to every host, and asserts the two
-solutions agree.  Prints ``MULTIHOST_OK`` on success.
+Every process builds IDENTICAL synthetic problems and runs three phases over
+the GLOBAL mesh (collectives riding the cross-process backend: Gloo on CPU,
+ICI/DCN on TPU), each asserting agreement with the local single-device solve:
+
+1. ``MULTIHOST_OK`` — sequence-parallel pose-graph solve (halo exchange + LC
+   psums cross the process boundary);
+2. ``MULTIHOST_BA_OK`` — sequence-parallel full BA: the owner-align
+   ``reshard_rows`` all_to_all, the routed target-pose exchanges, and the
+   psum reductions all cross the process boundary;
+3. ``MULTIHOST_ELASTIC_OK`` — elastic recovery across the boundary: the solve
+   starts on the global mesh, then "the other process's devices disappear"
+   between chunks (injected probe, same mechanism the heartbeat watchdog
+   drives on a real dead peer) and each survivor CONTINUES on its local
+   devices from carried state, landing on the uninterrupted optimum.
 """
 
 from __future__ import annotations
@@ -114,6 +122,65 @@ def main(argv=None) -> int:
     assert err < 1e-3, err
     assert abs(e_l - e_d) < 1e-3 * max(1.0, e_l), (e_l, e_d)
     print("MULTIHOST_OK", flush=True)
+
+    # --- phase 2: sequence-parallel FULL BA across the process boundary ---
+    from ..config import FullBAConfig, KeypointNoiseConfig
+    from ..solvers.full_ba import BAProblem, solve_full_ba
+    from .seq import seq_full_ba_solve
+
+    Kba = 2 * n_global
+    kp_i = rng.integers(1, P // 2, Kba).astype(np.int32)
+    kp_j = rng.integers(P // 2, P - 1, Kba).astype(np.int32)
+    sr = np.float32(np.sqrt(12.0**2 + 12.0**2))
+    lm0 = np.stack(
+        [dr[kp_i, 3] + 6.0, dr[kp_i, 4] + 6.0, np.full(Kba, -12.0)], axis=1
+    ).astype(np.float32)
+    ba_prob = BAProblem(
+        poses0=graph.poses0, odo_meas=graph.odo_meas, odo_sigmas=graph.odo_sigmas,
+        kp_i=jnp.asarray(kp_i), kp_j=jnp.asarray(kp_j),
+        kp_sr_s=jnp.full((Kba,), sr), kp_sr_t=jnp.full((Kba,), sr),
+        kp_valid=jnp.ones(Kba, bool),
+        lm0=jnp.asarray(lm0), lm_prior=jnp.asarray(lm0),
+        lm_prior_sigmas=jnp.asarray([50.0, 50.0, 1.5], jnp.float32),
+    )
+    ba_cfg = FullBAConfig(max_iters=8)
+    kp_cfg = KeypointNoiseConfig()
+    poses_ba_l, lms_l, info_ba_l = solve_full_ba(ba_prob, ba_cfg, kp_cfg)
+    poses_ba_d, lms_d, info_ba_d = seq_full_ba_solve(mesh, ba_prob, ba_cfg, kp_cfg)
+    t_ba = np.asarray(
+        multihost_utils.process_allgather(poses_ba_d.t, tiled=True)
+    ).reshape(np.asarray(poses_ba_l.t).shape)
+    err_ba = float(np.abs(t_ba - np.asarray(poses_ba_l.t)).max())
+    err_lm = float(np.abs(np.asarray(lms_d) - np.asarray(lms_l)).max())
+    e_l, e_d = float(info_ba_l.error), float(info_ba_d.error)
+    print(f"process {jax.process_index()}: BA max|Δt|={err_ba:.2e} "
+          f"max|Δlm|={err_lm:.2e} error local/dist={e_l:.6f}/{e_d:.6f}",
+          flush=True)
+    assert err_ba < 5e-3, err_ba
+    assert err_lm < 5e-2, err_lm
+    assert abs(e_l - e_d) < 1e-2 * max(1.0, e_l), (e_l, e_d)
+    print("MULTIHOST_BA_OK", flush=True)
+
+    # --- phase 3: elastic recovery across the process boundary ---
+    from .recovery import elastic_seq_pose_graph_solve
+
+    local_devs = jax.local_devices()
+
+    def probe(chunk_idx: int, devices: list) -> list:
+        # chunk 0 runs on the full global mesh; from chunk 1 the peer
+        # process's devices "disappear" and each survivor continues locally
+        return list(devices) if chunk_idx == 0 else list(local_devs)
+
+    poses_el, info_el, events = elastic_seq_pose_graph_solve(
+        graph, cfg, chunk=3, probe=probe
+    )
+    t_el = np.asarray(poses_el.t).reshape(t_local.shape)
+    err_el = float(np.abs(t_el - t_local).max())
+    print(f"process {jax.process_index()}: elastic max|Δt|={err_el:.2e} "
+          f"events={events}", flush=True)
+    assert events and events[0][1] == n_global and events[0][2] == n_local, events
+    assert err_el < 1e-3, err_el
+    print("MULTIHOST_ELASTIC_OK", flush=True)
     return 0
 
 

@@ -40,29 +40,52 @@ from .seq import seq_pose_graph_solve
 from .shard import make_mesh
 
 
-def heartbeat_probe(chunk_idx: int, devices: list, retries: int = 1) -> list:
+def heartbeat_probe(chunk_idx: int, devices: list, retries: int = 1,
+                    timeout_s: float = 30.0) -> list:
     """Default liveness probe: run the mesh heartbeat over the candidate
     devices; return them all if it counts them all.  The heartbeat is RETRIED
     (``retries`` extra attempts) before any shrink — a single transient
     collective error must not serialize the rest of the solve (ADVICE r2).
-    Only after consecutive failures does it fall back to device 0 only (a real
-    multi-host dead peer surfaces as a collective error/timeout rather than a
-    wrong count, so the failure carries no information about WHICH device
-    died).  Because :func:`elastic_seq_pose_graph_solve` re-probes the FULL
-    original device list at every chunk boundary, a shrink is never permanent:
-    devices that come back are re-admitted at the next boundary."""
+    A dead multi-host peer usually surfaces as a collective that HANGS rather
+    than errors, so each attempt runs under a ``timeout_s`` watchdog (daemon
+    worker thread; a hung attempt is abandoned, not joined).  Only after
+    consecutive failures does the probe fall back to this process's LOCAL
+    devices (the survivors a single controller can still drive; the failure
+    carries no information about WHICH remote device died).  Because
+    :func:`elastic_seq_pose_graph_solve` re-probes the FULL original device
+    list at every chunk boundary, a shrink is never permanent: devices that
+    come back are re-admitted at the next boundary."""
+    import threading
+
     from jax.sharding import Mesh
 
     from .distributed import heartbeat
 
+    def attempt() -> bool:
+        result = {}
+
+        def work():
+            try:
+                mesh = Mesh(np.asarray(devices), ("data",))
+                result["ok"] = int(heartbeat(mesh)) == len(devices)
+            except Exception:  # collective failure
+                result["ok"] = False
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        return bool(result.get("ok", False))  # timeout -> dead peer
+
     for _ in range(max(retries, 0) + 1):
-        try:
-            mesh = Mesh(np.asarray(devices), ("data",))
-            if int(heartbeat(mesh)) == len(devices):
-                return devices
-        except Exception:  # collective failure: retry, then shrink
-            pass
-    return devices[:1]
+        if attempt():
+            return devices
+    local = [d for d in devices if d.process_index == jax.process_index()]
+    if not local or len(local) == len(devices):
+        # single-process mesh (or no local survivors): a failing heartbeat
+        # over purely local devices carries no partition information — fall
+        # back to the one device the controller can always drive
+        return devices[:1]
+    return local
 
 
 def elastic_seq_pose_graph_solve(
@@ -116,10 +139,11 @@ def elastic_seq_pose_graph_solve(
         lam = float(np.asarray(info.lam))
         stall = int(np.asarray(info.stall))
         # detach from the (possibly shrinking) mesh: the next chunk's mesh may
-        # have fewer devices than this result's sharding
-        poses0 = jax.tree_util.tree_map(
-            lambda x: jnp.asarray(np.asarray(x)), poses
-        )
+        # have fewer devices than this result's sharding (multi-process safe:
+        # a cross-host shard is gathered, not np.asarray'd)
+        from .seq import to_host
+
+        poses0 = jax.tree_util.tree_map(lambda x: jnp.asarray(to_host(x)), poses)
         if path:
             ckpt.save_solver_state(path, poses0, lam, done, stall=stall,
                                    meta={"error": float(np.asarray(info.error))})

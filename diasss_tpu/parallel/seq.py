@@ -76,6 +76,18 @@ def _tree_concat(a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.concatenate([x, y]), a, b)
 
 
+def to_host(x) -> np.ndarray:
+    """Fetch a device array to host numpy, multi-process safe: an array
+    sharded over a multi-host mesh is not fully addressable from one process,
+    so gather it with ``process_allgather`` (every process gets the global
+    value); single-process arrays take the plain path."""
+    if getattr(x, "is_fully_addressable", True) or jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def _pad_chain(graph: PoseGraph, n: int):
     """Pad poses to n*B with identity poses and the odometry factor array to
     one entry per pose (factor k couples k -> k+1; entries >= P-1 invalid)."""
@@ -944,5 +956,5 @@ def seq_full_ba_solve(mesh: Mesh, prob: BAProblem,
     # keep their initialization, matching the single-device solver)
     lms = np.array(np.asarray(prob.lm0), copy=True)
     occupied = out_orig >= 0
-    lms[out_orig[occupied]] = np.asarray(lms_aligned)[occupied]
+    lms[out_orig[occupied]] = to_host(lms_aligned)[occupied]
     return poses_pad[:P_real], jnp.asarray(lms), info

@@ -125,6 +125,45 @@ if args.seq_poses:
         f"{dt:.1f} s  ({Pn / dt:,.0f} poses/s per solve)"
     )
 
+    # Full-BA long-mission point (VERDICT r2 item 2's done criterion): the
+    # owner-aligned SP full BA at a pose count beyond one device's replicated
+    # chain, correspondences sharded + routed (no O(P) collective anywhere).
+    from diasss_tpu.config import FullBAConfig
+    from diasss_tpu.parallel.seq import seq_full_ba_solve
+    from diasss_tpu.solvers.full_ba import BAProblem
+
+    Pb = min(Pn, 32768)  # BA carries per-factor Jacobian batches; 32k poses
+    Kba = max(64, Pb // 16)
+    kp_i = rng.integers(1, Pb // 2, Kba).astype(np.int32)
+    kp_j = rng.integers(Pb // 2, Pb - 1, Kba).astype(np.int32)
+    srb = np.float32(np.sqrt(12.0**2 + 12.0**2))
+    lm0 = np.stack(
+        [t[kp_i, 3] + 6.0, t[kp_i, 4] + 6.0, np.full(Kba, -12.0)], axis=1
+    ).astype(np.float32)
+    ba_prob = BAProblem(
+        poses0=se3.from_rodrigues_xyz(jnp.asarray(t[:Pb])),
+        odo_meas=se3.from_rodrigues_xyz(jnp.asarray(step[: Pb - 1])),
+        odo_sigmas=jnp.full((6,), 0.05, jnp.float32),
+        kp_i=jnp.asarray(kp_i), kp_j=jnp.asarray(kp_j),
+        kp_sr_s=jnp.full((Kba,), srb), kp_sr_t=jnp.full((Kba,), srb),
+        kp_valid=jnp.ones(Kba, bool),
+        lm0=jnp.asarray(lm0), lm_prior=jnp.asarray(lm0),
+        lm_prior_sigmas=jnp.asarray([50.0, 50.0, 1.5], jnp.float32),
+    )
+    ba_cfg = FullBAConfig(max_iters=3, cg_max_iters=25)
+    ba_out = seq_full_ba_solve(mesh, ba_prob, ba_cfg, KeypointNoiseConfig())
+    jax.block_until_ready(ba_out[0].t)
+    t0 = time.perf_counter()
+    ba_out = seq_full_ba_solve(mesh, ba_prob, ba_cfg, KeypointNoiseConfig())
+    jax.block_until_ready(ba_out[0].t)
+    dt = time.perf_counter() - t0
+    print(
+        f"SP full-BA long-mission: {Pb:,} poses + {Kba:,} landmarks on 8 "
+        f"devices (owner-aligned, routed exchange), "
+        f"{int(ba_out[2].iterations)} LM iters ({int(ba_out[2].cg_iters_total)} CG): "
+        f"{dt:.1f} s  ({Pb / dt:,.0f} poses/s per solve)"
+    )
+
 results = {}
 lc_sweep = [] if args.skip_lc_sweep else [1, 2, 4, 8]
 for n_dev in lc_sweep:

@@ -2,7 +2,11 @@
 jax.distributed.initialize (Gloo collectives on CPU), form one 8-device global
 mesh (4 per process), and run the sequence-parallel pose-graph solve across
 the process boundary.  Each process asserts the distributed result equals its
-local single-device solve and prints MULTIHOST_OK.
+local single-device solve and prints MULTIHOST_OK; phase 2 runs the
+owner-aligned sequence-parallel FULL BA across the boundary (all_to_all
+reshard + routed exchange + psum reductions, MULTIHOST_BA_OK); phase 3 runs
+the elastic solve where the peer's devices disappear between chunks and the
+survivor continues locally (MULTIHOST_ELASTIC_OK).
 """
 
 import os
@@ -49,4 +53,5 @@ def test_two_process_seq_pose_graph():
         outs.append(out)
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out[-3000:]}"
-        assert "MULTIHOST_OK" in out, f"rank {r} missing OK:\n{out[-3000:]}"
+        for marker in ("MULTIHOST_OK", "MULTIHOST_BA_OK", "MULTIHOST_ELASTIC_OK"):
+            assert marker in out, f"rank {r} missing {marker}:\n{out[-3000:]}"
