@@ -75,22 +75,19 @@ class SlamResult:
 def _overlap_pairs(frames: List[Keyframe], min_overlap: float) -> List[Tuple[int, int]]:
     """Pair gating by geo bbox IoU (diasss2.cpp:88-97).
 
-    One device reduction computes every frame's bbox; the IoU arithmetic is
-    host-side scalars (the naive per-pair version costs one device dispatch —
-    and one tunnel round trip — per pair).
+    ONE jitted reduction per distinct frame shape computes all same-shape
+    frames' bboxes (mixed-shape surveys batch per shape group); the IoU
+    arithmetic is host-side scalars.  The naive version cost 4 tiny device
+    dispatches — and tunnel round trips — per FRAME.
     """
-    bboxes = [
-        jnp.stack(
-            [
-                jnp.min(f.geo[..., 0]),
-                jnp.max(f.geo[..., 0]),
-                jnp.min(f.geo[..., 1]),
-                jnp.max(f.geo[..., 1]),
-            ]
-        )
-        for f in frames
-    ]
-    bb = np.asarray(jnp.stack(bboxes))  # (F, 4) — single transfer
+    by_shape: dict = {}
+    for k, f in enumerate(frames):
+        by_shape.setdefault(f.geo.shape, []).append(k)
+    bb = np.zeros((len(frames), 4), np.float64)
+    for idxs in by_shape.values():
+        stacked = jnp.stack([frames[k].geo for k in idxs])  # (G, N, M, 2)
+        out = _bbox_batch(stacked)  # one dispatch, one transfer
+        bb[np.asarray(idxs)] = np.asarray(out)
     out = []
     for i in range(len(frames)):
         for j in range(i + 1, len(frames)):
@@ -105,6 +102,16 @@ def _overlap_pairs(frames: List[Keyframe], min_overlap: float) -> List[Tuple[int
                 if a_ol / (a_a + a_b - a_ol) > min_overlap:
                     out.append((i, j))
     return out
+
+
+@jax.jit
+def _bbox_batch(geo: jnp.ndarray) -> jnp.ndarray:
+    """(G, N, M, 2) geo stack -> (G, 4) [xmin, xmax, ymin, ymax]."""
+    x = geo[..., 0].reshape(geo.shape[0], -1)
+    y = geo[..., 1].reshape(geo.shape[0], -1)
+    return jnp.stack(
+        [x.min(axis=1), x.max(axis=1), y.min(axis=1), y.max(axis=1)], axis=1
+    )
 
 
 def _pad_feats_common(feats):
