@@ -265,10 +265,32 @@ def _match_pairs_dense(frames, feats, geo_list, pair_ids, cfg: PipelineConfig,
     return corres_rows
 
 
+def _fetch_frame_arrays_host(frames, idxs, attrs=("altitudes", "ground_ranges")):
+    """Fetch per-frame device arrays to host in ONE stacked device dispatch
+    (and one transfer) per distinct shape, instead of one per use site —
+    through the axon tunnel each naive ``np.asarray`` costs a full round trip
+    (measured: kps_pairs stage 1.07 s at the 12k-pose bench point, dominated
+    by these fetches).  Returns one ``{frame_idx: np.ndarray}`` per attr."""
+    outs = []
+    for attr in attrs:
+        out: Dict[int, np.ndarray] = {}
+        by_shape: Dict[tuple, list] = {}
+        for k in idxs:
+            by_shape.setdefault(tuple(getattr(frames[k], attr).shape), []).append(k)
+        for ks in by_shape.values():
+            stacked = np.asarray(jnp.stack([getattr(frames[k], attr) for k in ks]))
+            for r, k in enumerate(ks):
+                out[k] = stacked[r]
+        outs.append(out)
+    return outs
+
+
 def _assemble_pairs(frames, corres_rows, pair_ids, cfg: PipelineConfig, use_anno: bool):
     """Keypoint pair assembly (C10) at a uniform static capacity (power of two,
     so re-match iterations with shifting match counts reuse compiled programs)."""
     raw_pairs: Dict[Tuple[int, int], np.ndarray] = {}
+    involved = sorted({k for ij in pair_ids for k in ij})
+    alts_h, grs_h = _fetch_frame_arrays_host(frames, involved)
     for (i, j) in pair_ids:
         if use_anno:
             rows = frames[i].annos
@@ -278,10 +300,10 @@ def _assemble_pairs(frames, corres_rows, pair_ids, cfg: PipelineConfig, use_anno
         kp = get_kps_pairs(
             rows,
             frames[j].img_id,
-            np.asarray(frames[i].altitudes),
-            np.asarray(frames[i].ground_ranges),
-            np.asarray(frames[j].altitudes),
-            np.asarray(frames[j].ground_ranges),
+            alts_h[i],
+            grs_h[i],
+            alts_h[j],
+            grs_h[j],
             use_anno=use_anno,
             nadir_threshold=cfg.loop_closure.nadir_threshold,
             capacity=None,
@@ -422,7 +444,8 @@ def _solve_two_stage(frames, geo_list, kps_pairs, pair_ids, cap, cfg, timings):
 
     # --- global pose-graph solve (C15 replacement) ---
     t0 = time.perf_counter()
-    dr_rows = [np.asarray(f.dr_poses) for f in frames]
+    (dr_h,) = _fetch_frame_arrays_host(frames, range(len(frames)), attrs=("dr_poses",))
+    dr_rows = [dr_h[k] for k in range(len(frames))]
     noise_key = (
         jax.random.PRNGKey(cfg.pose_graph.seed)
         if cfg.pose_graph.init_noise_xyz > 0
@@ -569,7 +592,8 @@ def run_slam(
     # --- evaluation (C18) — always against the original DR geo ---
     offsets = np.cumsum([0] + [int(f.dr_poses.shape[0]) for f in frames])
     frame_slices = [slice(int(offsets[k]), int(offsets[k + 1])) for k in range(len(frames))]
-    dr_rows = [np.asarray(f.dr_poses) for f in frames]
+    (dr_h,) = _fetch_frame_arrays_host(frames, range(len(frames)), attrs=("dr_poses",))
+    dr_rows = [dr_h[k] for k in range(len(frames))]
 
     t0 = time.perf_counter()
     eval1, eval2 = _evaluate_pairs(
