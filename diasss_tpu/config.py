@@ -101,6 +101,12 @@ class MatcherConfig:
     # defeated by near-duplicate neighbors of the true match; excluding the
     # best's spatial neighborhood restores its discriminative meaning.
     ratio_excl_radius: float = 0.0
+    # Multi-chip: per-pair NN searches route through the ring-pass kernel
+    # (parallel/ring.py, reference blocks rotated with ppermute) when a
+    # pipeline mesh is configured AND the keypoint capacity is at least this
+    # — below it the (K, K) block fits one chip and the ring's n-step
+    # ppermute latency only costs.
+    ring_min_kps: int = 4096
 
 
 @dataclasses.dataclass(frozen=True)

@@ -48,6 +48,36 @@ def _kp_geo(feats: DetectedFeatures, geo_img: jnp.ndarray) -> jnp.ndarray:
     return geo_img[yi, xi]
 
 
+def _ring_nn(geo_q, feats_q, geo_r, feats_r, bbox_r, cfg, pflip, mesh):
+    """Ring-pass NN search with internal padding of both keypoint capacities
+    to a multiple of the mesh size (``ring_geo_nn_search`` shards both sets);
+    padded slots are ``valid=False`` so decisions are unchanged."""
+    from ..parallel.ring import ring_geo_nn_search
+
+    n_dev = mesh.shape[mesh.axis_names[0]]
+
+    def padk(geo, desc, valid):
+        k = geo.shape[0]
+        pad = (-k) % n_dev
+        if not pad:
+            return geo, desc, valid
+        z = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)]
+        )
+        return z(geo), z(desc), z(valid)
+
+    kq = geo_q.shape[0]
+    gq, dq, vq = padk(geo_q, feats_q.desc, feats_q.valid)
+    gr, dr, vr = padk(geo_r, feats_r.desc, feats_r.valid)
+    out = ring_geo_nn_search(
+        gq, dq, vq, gr, dr, vr, bbox_r, cfg, pflip, mesh,
+        axis=mesh.axis_names[0],
+    )
+    if out.corres.shape[0] != kq:
+        out = jax.tree_util.tree_map(lambda a: a[:kq], out)
+    return out
+
+
 def robust_matching(
     img_id_s: int,
     img_id_t: int,
@@ -58,7 +88,14 @@ def robust_matching(
     rows_s: int,
     rows_t: int,
     cfg: MatcherConfig = MatcherConfig(),
+    mesh=None,
 ) -> MatchResult:
+    """``mesh``: optional 1-axis mesh — the NN searches run as the ring-pass
+    kernel (:func:`..parallel.ring.ring_geo_nn_search`): both keypoint sets
+    sharded over the devices, reference blocks rotated with ``ppermute``, the
+    (K, K) distance matrix never materialized on one chip.  Identical
+    decisions to the single-device search; worth it only when K is large
+    (``MatcherConfig.ring_min_kps`` gates it in the pipeline)."""
     geo_kp_s = _kp_geo(feats_s, geo_s)
     geo_kp_t = _kp_geo(feats_t, geo_t)
     bbox_t = jnp.asarray(
@@ -69,8 +106,12 @@ def robust_matching(
     )
 
     pflip = bool(img_id_s % 2 != img_id_t % 2)
-    nn_1 = geo_nn_search(geo_kp_s, feats_s.desc, feats_s.valid, geo_kp_t, feats_t.desc, feats_t.valid, bbox_t, cfg, pflip)
-    nn_2 = geo_nn_search(geo_kp_t, feats_t.desc, feats_t.valid, geo_kp_s, feats_s.desc, feats_s.valid, bbox_s, cfg, pflip)
+    if mesh is not None:
+        nn_1 = _ring_nn(geo_kp_s, feats_s, geo_kp_t, feats_t, bbox_t, cfg, pflip, mesh)
+        nn_2 = _ring_nn(geo_kp_t, feats_t, geo_kp_s, feats_s, bbox_s, cfg, pflip, mesh)
+    else:
+        nn_1 = geo_nn_search(geo_kp_s, feats_s.desc, feats_s.valid, geo_kp_t, feats_t.desc, feats_t.valid, bbox_t, cfg, pflip)
+        nn_2 = geo_nn_search(geo_kp_t, feats_t.desc, feats_t.valid, geo_kp_s, feats_s.desc, feats_s.valid, bbox_s, cfg, pflip)
 
     if cfg.cross_check:
         # mutual-NN filter (the reference's commented-out cross-check,
@@ -231,6 +272,7 @@ def robust_matching_stacked(
     geo_list,              # list of (N, M, 2) geo images
     rows_list,             # list of per-frame row counts
     cfg: MatcherConfig = MatcherConfig(),
+    mesh=None,
 ):
     """Whole-survey robust matching: every gated pair's bidirectional NN + SCC
     batched into one device dispatch + ONE device->host transfer, then the
@@ -238,6 +280,13 @@ def robust_matching_stacked(
     per-pair :func:`robust_matching` — same PRNG stream per pair, same merge
     rule.  Requires equal keypoint capacity across frames (the detector pads
     to ``n_features``).  Returns ``{(i, j): MatchResult}``.
+
+    ``mesh``: optional 1-axis :class:`jax.sharding.Mesh` — the gated pairs are
+    data-parallel sharded over its devices (the SURVEY §2 DP row's "pairs
+    sharded across chips"): per-pair inputs ride ``NamedSharding(P(axis))``,
+    frame tensors are replicated (every device gathers into any frame), and
+    XLA partitions the vmapped pair axis of the one stacked program.  Results
+    are bit-identical to the single-device stacked path.
     """
     if not pair_ids:
         return {}
@@ -280,9 +329,40 @@ def robust_matching_stacked(
         jnp.stack([k1, k2])[None], (len(pair_ids), 2, 2)
     ).astype(jnp.uint32)
 
+    n_pairs = len(pair_ids)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        n_dev = mesh.shape[axis]
+        pad = (-n_pairs) % n_dev
+        if pad:
+            # dummy pairs (frame 0 vs itself) fill the last shard; their
+            # results are sliced off before the merge
+            def padp(a):
+                return jnp.concatenate(
+                    [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)]
+                )
+
+            src, tgt, bounds, parity, keys = (
+                padp(src), padp(tgt), padp(bounds), padp(parity), padp(keys)
+            )
+        shard = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+        src, tgt, bounds, parity, keys = (
+            jax.device_put(a, shard) for a in (src, tgt, bounds, parity, keys)
+        )
+        kp_geo, desc, valid, xy, bboxes, n_rows = (
+            jax.device_put(a, rep)
+            for a in (kp_geo, desc, valid, xy, bboxes, n_rows)
+        )
+
     scc1, scc2 = _stacked_nn_scc(
         kp_geo, desc, valid, xy, bboxes, src, tgt, bounds, parity, n_rows, keys, cfg
     )
+    if mesh is not None and scc1.corres.shape[0] != n_pairs:
+        scc1 = jax.tree_util.tree_map(lambda a: a[:n_pairs], scc1)
+        scc2 = jax.tree_util.tree_map(lambda a: a[:n_pairs], scc2)
     # ONE transfer for the whole survey
     c1, c2, inl1, inl2, m1, m2, xy_np = jax.device_get(
         (scc1.corres, scc2.corres, scc1.inlier_count, scc2.inlier_count,

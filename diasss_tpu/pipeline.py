@@ -175,9 +175,11 @@ def _match_pairs(frames, feats, geo_list, pair_ids, cfg: PipelineConfig, matcher
         )
     corres_rows: Dict[int, list] = {i: [] for i in range(len(frames))}
     same_caps = len({(f.xy.shape[0], f.desc.shape[1]) for f in feats}) == 1
+    mesh = _maybe_mesh(cfg)
     if stacked and same_caps and len(pair_ids) > 1:
         # whole-survey stacked dispatch: one device program + ONE transfer for
-        # all pairs (the per-pair loop costs a device round trip per pair)
+        # all pairs (the per-pair loop costs a device round trip per pair);
+        # with a pipeline mesh the pair axis is DP-sharded across its devices
         from .matching.robust import robust_matching_stacked
 
         results = robust_matching_stacked(
@@ -187,8 +189,11 @@ def _match_pairs(frames, feats, geo_list, pair_ids, cfg: PipelineConfig, matcher
             geo_list,
             [f.raw.shape[0] for f in frames],
             cfg=matcher_cfg,
+            mesh=mesh,
         )
         count("match_stacked_pairs", len(pair_ids))
+        if mesh is not None:
+            count("match_mesh_devices", int(mesh.devices.size))
         for (i, j), m in results.items():
             if m.n_matches:
                 corres_rows[i].append((frames[j].img_id, m.rows_s))
@@ -196,6 +201,15 @@ def _match_pairs(frames, feats, geo_list, pair_ids, cfg: PipelineConfig, matcher
         return corres_rows
     count("match_perpair_pairs", len(pair_ids))
     for (i, j) in pair_ids:
+        # oversized keypoint sets route the NN search through the ring-pass
+        # kernel (the (K, K) distance block never materializes on one chip)
+        kmax = max(feats[i].xy.shape[0], feats[j].xy.shape[0])
+        ring_mesh = (
+            mesh if (mesh is not None and kmax >= matcher_cfg.ring_min_kps)
+            else None
+        )
+        if ring_mesh is not None:
+            count("match_ring_pairs", 1)
         m = robust_matching(
             frames[i].img_id,
             frames[j].img_id,
@@ -206,6 +220,7 @@ def _match_pairs(frames, feats, geo_list, pair_ids, cfg: PipelineConfig, matcher
             rows_s=frames[i].raw.shape[0],
             rows_t=frames[j].raw.shape[0],
             cfg=matcher_cfg,
+            mesh=ring_mesh,
         )
         if m.n_matches:
             corres_rows[i].append((frames[j].img_id, m.rows_s))

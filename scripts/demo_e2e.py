@@ -28,6 +28,9 @@ parser.add_argument("--auto", action="store_true",
 parser.add_argument("--estimator", default="two_stage", choices=["two_stage", "full_ba"],
                     help="two_stage = reference-parity; full_ba = joint BA (beyond-reference)")
 parser.add_argument("--ties", type=int, default=0, help="number of crossing tie lines")
+parser.add_argument("--mesh", type=int, default=None,
+                    help="run the global solves + stacked matching over an "
+                         "n-device mesh (set XLA_FLAGS device count on CPU)")
 args = parser.parse_args()
 
 import jax
@@ -76,6 +79,8 @@ if args.detected and not args.auto:
                               cross_check=True, scc_mode="xy"),
         pose_graph=PoseGraphConfig(use_anno=False),
     )
+if args.mesh:
+    cfg = dataclasses.replace(cfg, mesh_devices=args.mesh)
 t0 = time.perf_counter()
 result = run_slam(frames, cfg, gt_rows_list=[l.gt_poses for l in survey.lines])
 print(f"SLAM solved ({time.perf_counter()-t0:.2f}s)")

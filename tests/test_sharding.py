@@ -201,3 +201,123 @@ class TestRingMatching:
         assert (np.asarray(ref.corres) == np.asarray(out.corres)).all()
         assert (np.asarray(ref.n_candidates) == np.asarray(out.n_candidates)).all()
         assert (np.asarray(ref.corres) >= 0).sum() > 10  # non-trivial problem
+
+
+class TestMeshMatching:
+    """Pipeline-reachable multi-chip matching (VERDICT r2 weak #3): the
+    stacked whole-survey matcher DP-sharded over the mesh's pair axis, and
+    the per-pair robust matcher routed through the ring-pass NN kernel —
+    both bit-identical to their single-device paths."""
+
+    def _survey(self, seed=3, K=130):
+        from diasss_tpu.config import MatcherConfig
+        from diasss_tpu.features.detector import DetectedFeatures
+        from diasss_tpu.geometry import sonar
+
+        rng = np.random.default_rng(seed)
+        n_pings, n_bins, D = 420, 64, 64
+        gras = np.linspace(5.0, 20.0, n_bins // 2).astype(np.float32)
+        geo_list, feats, rows_list = [], [], []
+        for f in range(3):
+            dr = np.zeros((n_pings, 6), np.float32)
+            dr[:, 3] = np.arange(n_pings) * 0.12
+            dr[:, 4] = 3.0 * f
+            dr[:, 2] = np.pi * (f % 2)
+            geo_list.append(sonar.geo_image(
+                jnp.asarray(dr[:, 3:5]), jnp.asarray(dr[:, 2]),
+                jnp.asarray(gras), n_bins,
+            ))
+            rows_list.append(n_pings)
+            xy = rng.uniform(10, 400, (K, 2)).astype(np.float32)
+            desc = (rng.normal(0, 1, (K, D)) * 60).astype(np.float32)
+            feats.append(DetectedFeatures(
+                xy=jnp.asarray(xy),
+                response=jnp.zeros(K, jnp.float32),
+                angle=jnp.zeros(K, jnp.float32),
+                size=jnp.full((K,), 31.0, jnp.float32),
+                level=jnp.zeros(K, jnp.int32),
+                desc=jnp.asarray(desc),
+                valid=jnp.asarray(rng.uniform(size=K) > 0.1),
+            ))
+        for (i, j) in [(0, 1), (1, 2), (0, 2)]:
+            qi = rng.choice(K, 30, replace=False)
+            feats[j] = feats[j]._replace(
+                desc=feats[j].desc.at[qi].set(feats[i].desc[qi] + 1.0),
+                xy=feats[j].xy.at[qi].set(feats[i].xy[qi] + 2.0),
+            )
+        cfg = MatcherConfig(ratio_test=0.9, sift_dist_bound=500.0, geo_radius=12.0)
+        return feats, geo_list, rows_list, cfg
+
+    def test_stacked_matcher_pairs_sharded(self):
+        """3 pairs on an 8-device mesh (exercises the dummy-pair padding)."""
+        from diasss_tpu.matching.robust import robust_matching_stacked
+
+        feats, geo_list, rows_list, cfg = self._survey()
+        pair_ids = [(0, 1), (0, 2), (1, 2)]
+        img_ids = [0, 1, 2]
+        ref = robust_matching_stacked(
+            pair_ids, img_ids, feats, geo_list, rows_list, cfg
+        )
+        mesh = make_mesh(8)
+        out = robust_matching_stacked(
+            pair_ids, img_ids, feats, geo_list, rows_list, cfg, mesh=mesh
+        )
+        total = 0
+        for key in pair_ids:
+            assert out[key].n_matches == ref[key].n_matches, key
+            np.testing.assert_array_equal(out[key].rows_s, ref[key].rows_s)
+            np.testing.assert_array_equal(out[key].rows_t, ref[key].rows_t)
+            assert out[key].consistent == ref[key].consistent
+            total += ref[key].n_matches
+        assert total > 10  # non-trivial problem
+
+    def test_robust_matching_ring(self):
+        """K=130 (not divisible by 8) exercises the internal kp padding."""
+        from diasss_tpu.matching.robust import robust_matching
+
+        feats, geo_list, rows_list, cfg = self._survey()
+        ref = robust_matching(
+            0, 2, feats[0], feats[2], geo_list[0], geo_list[2],
+            rows_s=rows_list[0], rows_t=rows_list[2], cfg=cfg,
+        )
+        mesh = make_mesh(8)
+        out = robust_matching(
+            0, 2, feats[0], feats[2], geo_list[0], geo_list[2],
+            rows_s=rows_list[0], rows_t=rows_list[2], cfg=cfg, mesh=mesh,
+        )
+        assert out.n_matches == ref.n_matches > 5
+        np.testing.assert_array_equal(out.rows_s, ref.rows_s)
+        np.testing.assert_array_equal(out.rows_t, ref.rows_t)
+
+    def test_pipeline_match_pairs_uses_mesh(self):
+        """_match_pairs with PipelineConfig.mesh_devices routes the stacked
+        dispatch through the mesh and records it in timings."""
+        from diasss_tpu.config import PipelineConfig
+        from diasss_tpu.frame import Keyframe
+        from diasss_tpu.pipeline import _match_pairs
+
+        feats, geo_list, rows_list, cfg_m = self._survey()
+
+        class _F:
+            def __init__(self, img_id, rows):
+                self.img_id = img_id
+                self.raw = np.zeros((rows, 4), np.float32)
+
+        frames = [_F(i, rows_list[i]) for i in range(3)]
+        cfg = PipelineConfig(mesh_devices=8)
+        timings = {}
+        out_mesh = _match_pairs(
+            frames, feats, geo_list, [(0, 1), (0, 2), (1, 2)], cfg, cfg_m,
+            timings=timings,
+        )
+        assert timings.get("match_stacked_pairs") == 3
+        assert timings.get("match_mesh_devices") == 8
+        cfg1 = PipelineConfig(mesh_devices=None)
+        out_one = _match_pairs(
+            frames, feats, geo_list, [(0, 1), (0, 2), (1, 2)], cfg1, cfg_m,
+        )
+        for k in out_one:
+            assert len(out_one[k]) == len(out_mesh[k])
+            for (ra, rb) in zip(out_one[k], out_mesh[k]):
+                assert ra[0] == rb[0]
+                np.testing.assert_array_equal(ra[1], rb[1])
