@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,8 +95,10 @@ def eval_landmark_consistency(
     fnl_xy = proj_s - proj_t
     fnl = jnp.linalg.norm(fnl_xy, axis=-1)
 
-    ini_np, fnl_np = np.asarray(ini), np.asarray(fnl)
-    ini_xy_np, fnl_xy_np = np.asarray(ini_xy), np.asarray(fnl_xy)
+    # one batched transfer (per-array np.asarray costs one tunnel RTT each)
+    ini_np, fnl_np, ini_xy_np, fnl_xy_np = jax.device_get(
+        (ini, fnl, ini_xy, fnl_xy)
+    )
     n = len(ini_np)
     return Eval1Result(
         improved_pct=float((ini_np > fnl_np).mean() * 100.0),
@@ -157,7 +160,7 @@ def eval_triangulated_consistency(
             + jnp.abs(jnp.linalg.norm(l_t, axis=-1) - sr_t)
         )
         plane_e = 0.5 * (jnp.abs(l_s[:, 0]) + jnp.abs(l_t[:, 0]))
-        return np.asarray(range_e), np.asarray(plane_e)
+        return jax.device_get((range_e, plane_e))  # one batched transfer
 
     r_dr, p_dr = errors(Tp_s_dr, Tp_t_dr)
     r_est, p_est = errors(est_s[id_s], est_t[id_t])
@@ -224,8 +227,9 @@ def eval_landmark_consistency_stacked(
     fnl_xy = proj_s - proj_t
     fnl = jnp.linalg.norm(fnl_xy, axis=-1)
 
-    ini_np, fnl_np = np.asarray(ini), np.asarray(fnl)
-    ini_xy_np, fnl_xy_np = np.asarray(ini_xy), np.asarray(fnl_xy)
+    ini_np, fnl_np, ini_xy_np, fnl_xy_np = jax.device_get(
+        (ini, fnl, ini_xy, fnl_xy)
+    )  # one batched transfer
 
     out = {}
     for key, a, b in blocks:
@@ -321,7 +325,7 @@ def eval_triangulated_consistency_stacked(
             + jnp.abs(jnp.linalg.norm(l_t, axis=-1) - sr_t)
         )
         plane_e = 0.5 * (jnp.abs(l_s[:, 0]) + jnp.abs(l_t[:, 0]))
-        return np.asarray(range_e), np.asarray(plane_e)
+        return jax.device_get((range_e, plane_e))  # one batched transfer
 
     r_dr, p_dr = errors(Tp_s_dr, Tp_t_dr)
     r_est, p_est = errors(est_s, est_t)

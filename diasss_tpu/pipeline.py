@@ -388,8 +388,10 @@ def _solve_two_stage(frames, geo_list, kps_pairs, pair_ids, cap, cfg, timings):
             kp_cfg=cfg.kp_noise,
             cfg=cfg.loop_closure,
         )
-        # one device->host transfer for the whole survey, then numpy slicing
-        stacked = jax.tree_util.tree_map(lambda a: np.asarray(a), stacked)
+        # one BATCHED device->host transfer for the whole survey (device_get
+        # fetches all 14 LCResult leaves in one round trip; per-leaf
+        # np.asarray cost one tunnel RTT each), then numpy slicing
+        stacked = jax.device_get(stacked)
         for k, key in enumerate(pair_ids):
             sl = slice(k * cap_blk, (k + 1) * cap_blk)
             lc_results[key] = jax.tree_util.tree_map(lambda a: a[sl], stacked)
