@@ -327,10 +327,10 @@ class OnlineSlam:
                 kp_cfg=cfg.kp_noise,
                 cfg=cfg.loop_closure,
             )
-            q = np.asarray(res.quality)
-            var = np.asarray(res.variance6)
-            Rm = np.asarray(res.rel_pose.R)
-            tm = np.asarray(res.rel_pose.t)
+            # one batched transfer (per-leaf fetches cost one tunnel RTT each)
+            q, var, Rm, tm = jax.device_get(
+                (res.quality, res.variance6, res.rel_pose.R, res.rel_pose.t)
+            )
             for k in range(len(q)):
                 if not kp.valid[k] or not (q[k] > 0) or not np.all(np.isfinite(var[k])):
                     continue

@@ -413,8 +413,9 @@ def _solve_two_stage(frames, geo_list, kps_pairs, pair_ids, cap, cfg, timings):
                 kp_cfg=cfg.kp_noise,
                 cfg=cfg.loop_closure,
             )
-        for r in lc_results.values():
-            jax.block_until_ready(r.quality)
+        # one batched transfer for all pairs' results (the gate below reads
+        # every leaf; per-leaf np.asarray would cost one tunnel RTT each)
+        lc_results = jax.device_get(lc_results)
     timings["loop_closures"] = timings.get("loop_closures", 0.0) + time.perf_counter() - t0
 
     # --- collect accepted LC factors (quality > 0; optimizer.cpp:234) ---
