@@ -164,6 +164,12 @@ def solve_pose_graph_checkpointed(graph, cfg=None, path: str = "solver_ckpt.npz"
                           meta={"error": float(np.asarray(info.error))})
         if int(np.asarray(info.iterations)) < n:  # converged inside the chunk
             break
+    if info is None:
+        # resumed at an already-converged/stalled snapshot (stall >= 2 or all
+        # iterations done): run a zero-iteration solve so callers still get a
+        # consistent SolveInfo (error of the snapshot iterate) instead of None
+        ccfg = dataclasses.replace(cfg, max_gn_iters=0)
+        _, info = solve_pose_graph(graph, ccfg, lam0=lam, stall0=stall)
     if os.path.exists(path):
         os.remove(path)
     return graph.poses0, info
@@ -199,6 +205,11 @@ def solve_full_ba_checkpointed(prob, cfg, kp_cfg, path: str = "ba_ckpt.npz",
                           meta={"error": float(np.asarray(info.error))})
         if int(np.asarray(info.iterations)) < n:
             break
+    if info is None:
+        # resumed at an already-converged/stalled snapshot — see
+        # solve_pose_graph_checkpointed
+        ccfg = dataclasses.replace(cfg, max_iters=0)
+        _, lms, info = solve_full_ba(prob, ccfg, kp_cfg, lam0=lam, stall0=stall)
     if os.path.exists(path):
         os.remove(path)
     return prob.poses0, lms, info

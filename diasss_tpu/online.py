@@ -124,6 +124,7 @@ class OnlineSlam:
         # frame idx -> [(ref_img_id, corres rows)], the _match_pairs layout
         self._corres_rows: Dict[int, list] = {}
         self._accepted: List[tuple] = []  # two-stage accepted LC factors
+        self._bbox_cache: Dict[int, object] = {}  # id(frame) -> geo bbox
 
     def add_frame(self, frame: Keyframe) -> se3.Pose3:
         cfg = self.cfg
@@ -138,7 +139,8 @@ class OnlineSlam:
 
         # pairs involving any frame; matching/LC are only recomputed for pairs
         # that involve the NEW frame (earlier pairs' results are accumulated)
-        pair_ids = _overlap_pairs(st.frames, cfg.min_overlap)
+        pair_ids = _overlap_pairs(st.frames, cfg.min_overlap,
+                                  cache=self._bbox_cache)
         new_pairs = [p for p in pair_ids if new_idx in p]
 
         # --- detection + matching for the new frame (detected path) ---

@@ -40,28 +40,50 @@ from .seq import seq_pose_graph_solve
 from .shard import make_mesh
 
 
+# device sets whose heartbeat HUNG (not errored): {key: chunks to skip}.
+# A hung collective cannot be cancelled — its daemon thread still occupies
+# the participating devices — so immediately re-probing the same set would
+# stack another hung collective on them every chunk.  Exponential backoff
+# bounds the number of concurrently-wedged probe threads to O(log(chunks)).
+_hang_backoff: dict = {}
+
+
 def heartbeat_probe(chunk_idx: int, devices: list, retries: int = 1,
                     timeout_s: float = 30.0) -> list:
     """Default liveness probe: run the mesh heartbeat over the candidate
-    devices; return them all if it counts them all.  The heartbeat is RETRIED
-    (``retries`` extra attempts) before any shrink — a single transient
-    collective error must not serialize the rest of the solve (ADVICE r2).
-    A dead multi-host peer usually surfaces as a collective that HANGS rather
-    than errors, so each attempt runs under a ``timeout_s`` watchdog (daemon
-    worker thread; a hung attempt is abandoned, not joined).  Only after
-    consecutive failures does the probe fall back to this process's LOCAL
-    devices (the survivors a single controller can still drive; the failure
-    carries no information about WHICH remote device died).  Because
-    :func:`elastic_seq_pose_graph_solve` re-probes the FULL original device
-    list at every chunk boundary, a shrink is never permanent: devices that
-    come back are re-admitted at the next boundary."""
+    devices; return them all if it counts them all.  A CLEAN collective
+    error is retried (``retries`` extra attempts) before any shrink — a
+    single transient error must not serialize the rest of the solve
+    (ADVICE r2).  A dead multi-host peer usually surfaces as a collective
+    that HANGS rather than errors, so each attempt runs under a
+    ``timeout_s`` watchdog (daemon worker thread).  A hang is NOT retried —
+    the abandoned attempt is still executing its collective, and a retry
+    would stack a second hung collective on the same devices — and the hung
+    device set enters an exponential re-probe backoff (1, 2, 4, ... chunk
+    boundaries) so re-grow attempts stay bounded.  Only after failure does
+    the probe fall back to this process's LOCAL devices (the survivors a
+    single controller can still drive; the failure carries no information
+    about WHICH remote device died).
+
+    Caveat (real multi-host hardware): the runtime cannot cancel a
+    dispatched collective, so the abandoned attempt may keep this process's
+    local devices busy until the distributed runtime tears the operation
+    down; if the local mesh wedges behind it, the ``path``-based snapshot
+    (written at every chunk boundary) is the recovery layer — a restarted
+    process resumes from it (tests/test_recovery.py, test_multihost.py)."""
     import threading
 
     from jax.sharding import Mesh
 
     from .distributed import heartbeat
 
-    def attempt() -> bool:
+    key = tuple(id(d) for d in devices)
+    left = _hang_backoff.get(key)
+    if left is not None and left.get("skip", 0) > 0:
+        left["skip"] -= 1
+        return left["fallback"]
+
+    def attempt() -> Optional[bool]:
         result = {}
 
         def work():
@@ -74,17 +96,28 @@ def heartbeat_probe(chunk_idx: int, devices: list, retries: int = 1,
         t = threading.Thread(target=work, daemon=True)
         t.start()
         t.join(timeout_s)
-        return bool(result.get("ok", False))  # timeout -> dead peer
+        return result.get("ok")  # None -> timed out (hung peer)
 
+    hung = False
     for _ in range(max(retries, 0) + 1):
-        if attempt():
+        ok = attempt()
+        if ok:
+            _hang_backoff.pop(key, None)
             return devices
+        if ok is None:  # hang: do NOT stack another collective on these devices
+            hung = True
+            break
     local = [d for d in devices if d.process_index == jax.process_index()]
     if not local or len(local) == len(devices):
         # single-process mesh (or no local survivors): a failing heartbeat
         # over purely local devices carries no partition information — fall
         # back to the one device the controller can always drive
-        return devices[:1]
+        local = devices[:1]
+    if hung:
+        prev = _hang_backoff.get(key, {"period": 1})
+        period = min(prev.get("period", 1) * 2, 64)
+        _hang_backoff[key] = {"skip": period - 1, "period": period,
+                              "fallback": local}
     return local
 
 
@@ -150,6 +183,14 @@ def elastic_seq_pose_graph_solve(
         if int(np.asarray(info.iterations)) < n_it:  # converged inside the chunk
             break
         chunk_idx += 1
+    if info is None:
+        # resumed at an already-converged/stalled snapshot: zero-iteration
+        # solve for a consistent SolveInfo (see checkpoint.py drivers)
+        mesh = make_mesh(len(devices), devices=devices)
+        ccfg = dataclasses.replace(cfg, max_gn_iters=0)
+        _, info = seq_pose_graph_solve(
+            mesh, graph._replace(poses0=poses0), ccfg, lam0=lam, stall0=stall
+        )
     if path and os.path.exists(path):
         os.remove(path)
     return poses0, info, events

@@ -72,22 +72,36 @@ class SlamResult:
         }
 
 
-def _overlap_pairs(frames: List[Keyframe], min_overlap: float) -> List[Tuple[int, int]]:
+def _overlap_pairs(frames: List[Keyframe], min_overlap: float,
+                   cache: Optional[dict] = None) -> List[Tuple[int, int]]:
     """Pair gating by geo bbox IoU (diasss2.cpp:88-97).
 
     ONE jitted reduction per distinct frame shape computes all same-shape
     frames' bboxes (mixed-shape surveys batch per shape group); the IoU
     arithmetic is host-side scalars.  The naive version cost 4 tiny device
     dispatches — and tunnel round trips — per FRAME.
+
+    ``cache``: optional ``{id(frame): bbox}`` dict for streaming callers
+    (OnlineSlam) — a frame's bbox never changes, so each arrival computes
+    only the NEW frame's bbox with a fixed-shape program instead of
+    restacking (and recompiling for) the whole growing survey.  The caller
+    must keep the frames alive while the cache is used (ids are reused
+    after garbage collection).
     """
     by_shape: dict = {}
-    for k, f in enumerate(frames):
-        by_shape.setdefault(f.geo.shape, []).append(k)
     bb = np.zeros((len(frames), 4), np.float64)
+    for k, f in enumerate(frames):
+        if cache is not None and id(f) in cache:
+            bb[k] = cache[id(f)]
+        else:
+            by_shape.setdefault(f.geo.shape, []).append(k)
     for idxs in by_shape.values():
         stacked = jnp.stack([frames[k].geo for k in idxs])  # (G, N, M, 2)
         out = _bbox_batch(stacked)  # one dispatch, one transfer
         bb[np.asarray(idxs)] = np.asarray(out)
+        if cache is not None:
+            for k in idxs:
+                cache[id(frames[k])] = bb[k]
     out = []
     for i in range(len(frames)):
         for j in range(i + 1, len(frames)):
@@ -168,11 +182,28 @@ def _match_pairs(frames, feats, geo_list, pair_ids, cfg: PipelineConfig, matcher
             frames, feats, geo_list, pair_ids, cfg, matcher_cfg, count, stacked
         )
     if cfg.detector.descriptor == "geo_patch":
-        from .features import attach_geo_patch_descriptors_batch
+        if stacked:
+            from .features import attach_geo_patch_descriptors_batch
 
-        feats = attach_geo_patch_descriptors_batch(
-            feats, [f.norm for f in frames], geo_list, cfg.detector
-        )
+            feats = attach_geo_patch_descriptors_batch(
+                feats, [f.norm for f in frames], geo_list, cfg.detector
+            )
+        else:
+            # online streaming: the batch attach's vmapped frame axis grows
+            # every arrival (recompile + full restack per frame); use the
+            # fixed-shape per-frame program, and only for frames that are in
+            # a pair this call actually matches
+            from .features import attach_geo_patch_descriptors
+
+            involved = {k for p in pair_ids for k in p}
+            feats = [
+                attach_geo_patch_descriptors(
+                    f, frames[k].norm, geo_list[k], cfg.detector
+                )
+                if k in involved
+                else f
+                for k, f in enumerate(feats)
+            ]
     corres_rows: Dict[int, list] = {i: [] for i in range(len(frames))}
     same_caps = len({(f.xy.shape[0], f.desc.shape[1]) for f in feats}) == 1
     mesh = _maybe_mesh(cfg)

@@ -146,3 +146,33 @@ class TestMidSolveCheckpoint:
             np.asarray(poses.t), np.asarray(poses_ref.t), rtol=0, atol=2e-3
         )
         assert not os.path.exists(path)
+
+
+class TestResumeAtStalledSnapshot:
+    """Resuming a snapshot saved with stall >= 2 (the chunk ended exactly at
+    the 2-trial stall exit, then the process died before cleanup) must not
+    return info=None — the driver runs a zero-iteration solve so callers
+    still get a consistent SolveInfo."""
+
+    def test_pose_graph_resume_stalled(self, tmp_path):
+        from diasss_tpu import checkpoint
+        from diasss_tpu.solvers.pose_graph import solve_pose_graph
+
+        graph, cfg = _drifted_graph()
+        ref, info_ref = solve_pose_graph(graph, cfg)
+        path = str(tmp_path / "ck.npz")
+        # snapshot of the CONVERGED iterate with the stall exit recorded
+        checkpoint.save_solver_state(
+            path, ref, float(np.asarray(info_ref.lam)),
+            int(np.asarray(info_ref.iterations)), stall=2,
+        )
+        poses, info = checkpoint.solve_pose_graph_checkpointed(
+            graph, cfg, path, chunk=5
+        )
+        assert info is not None
+        assert int(np.asarray(info.iterations)) == 0
+        assert np.isfinite(float(np.asarray(info.error)))
+        np.testing.assert_allclose(
+            np.asarray(poses.t), np.asarray(ref.t), rtol=0, atol=1e-6
+        )
+        assert not os.path.exists(path)

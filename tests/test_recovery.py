@@ -130,3 +130,35 @@ def test_mesh_regrows_after_temporary_loss():
     np.testing.assert_allclose(
         np.asarray(poses.t), np.asarray(ref.t), rtol=0, atol=2e-3
     )
+
+
+def test_heartbeat_probe_hang_no_retry_and_backoff(monkeypatch):
+    """A HUNG heartbeat (dead multi-host peer) is not retried — the abandoned
+    attempt still occupies its devices, and a retry would stack a second hung
+    collective — and the hung device set enters an exponential re-probe
+    backoff so later chunk boundaries skip it instead of wedging again."""
+    import time as _time
+
+    from diasss_tpu.parallel import distributed, recovery
+
+    calls = {"n": 0}
+
+    def hanging(mesh, axis="data"):
+        calls["n"] += 1
+        _time.sleep(60)
+
+    monkeypatch.setattr(distributed, "heartbeat", hanging)
+    recovery._hang_backoff.clear()
+    devs = jax.devices()[:4]
+    out = heartbeat_probe(0, devs, retries=3, timeout_s=0.2)
+    assert calls["n"] == 1  # hang -> no retry despite retries=3
+    assert out == devs[:1]  # single-process fallback
+    # next boundary: backoff skips the probe entirely (no new hung thread)
+    out2 = heartbeat_probe(1, devs, retries=3, timeout_s=0.2)
+    assert calls["n"] == 1
+    assert out2 == devs[:1]
+    # after the skip, the set is probed again (re-grow stays possible)
+    monkeypatch.setattr(distributed, "heartbeat", lambda m, a="data": 4)
+    out3 = heartbeat_probe(2, devs, retries=0, timeout_s=5.0)
+    assert out3 == devs
+    recovery._hang_backoff.clear()
