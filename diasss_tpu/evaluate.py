@@ -180,12 +180,18 @@ def eval_triangulated_consistency(
     )
 
 
+@jax.jit
+def _ate_device(est_t, gt_rows):
+    # one program: the op-by-op Rodrigues chain cost ~10 dispatches
+    gt = se3.from_rodrigues_xyz(gt_rows)
+    d = est_t - gt.t
+    return jnp.sqrt(jnp.mean(jnp.sum(d * d, axis=1)))
+
+
 def trajectory_ate(est: se3.Pose3, gt_rows: np.ndarray) -> float:
     """RMSE of translation error vs ground truth (no alignment — the gauge is
     fixed at the first pose, matching how the reference anchors its graph)."""
-    gt = se3.from_rodrigues_xyz(jnp.asarray(gt_rows, jnp.float32))
-    d = np.asarray(est.t) - np.asarray(gt.t)
-    return float(np.sqrt(np.mean(np.sum(d * d, axis=1))))
+    return float(_ate_device(est.t, jnp.asarray(gt_rows, jnp.float32)))
 
 
 def eval_landmark_consistency_stacked(

@@ -123,12 +123,16 @@ def build_keyframe(
     alts_j = jnp.asarray(altitudes, dtype)
     grs_j = jnp.asarray(ground_ranges, dtype)
     n_bins = raw.shape[1]
+    # one jitted program for the whole preprocess (op-by-op dispatch costs a
+    # tunnel round trip per op on remote-dispatch setups; the batch path
+    # already had this via _preprocess_batch)
+    norm, mask, geo = _preprocess_one(raw_j, poses_j, grs_j, norm_cfg, mask_cfg)
     return Keyframe(
         img_id=img_id,
         raw=raw_j,
-        norm=normalize_sss(raw_j, norm_cfg),
-        mask=filtered_mask(raw_j, mask_cfg),
-        geo=sonar.geo_image(poses_j[:, 3:5], poses_j[:, 2], grs_j, n_bins),
+        norm=norm,
+        mask=mask,
+        geo=geo,
         dr_poses=poses_j,
         altitudes=alts_j,
         ground_ranges=grs_j,
@@ -151,6 +155,18 @@ def normalize_columns(raw: jnp.ndarray) -> jnp.ndarray:
     mx = jnp.max(x)
     x = (x - mn) * (255.0 / jnp.maximum(mx - mn, 1e-12))
     return jnp.round(x).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("norm_cfg", "mask_cfg"))
+def _preprocess_one(raw, poses, grs, norm_cfg, mask_cfg):
+    from .geometry import sonar
+
+    n_bins = raw.shape[1]
+    return (
+        normalize_sss(raw, norm_cfg),
+        filtered_mask(raw, mask_cfg),
+        sonar.geo_image(poses[:, 3:5], poses[:, 2], grs, n_bins),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("norm_cfg", "mask_cfg"))

@@ -27,6 +27,9 @@ indices G, G-1, ..., 1 for port columns 0..G-1, i.e. ``g(j) = G - j`` which read
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
@@ -81,6 +84,7 @@ def nadir_mask(col_s, col_t, n_gr_s: int, n_gr_t: int, nd_thres: int = 20):
     return (d_s >= nd_thres) & (d_t >= nd_thres)
 
 
+@functools.partial(jax.jit, static_argnames=("n_bins",))
 def geo_image(
     pose_xy: jnp.ndarray,
     pose_yaw: jnp.ndarray,

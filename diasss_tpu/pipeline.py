@@ -651,7 +651,10 @@ def run_slam(
     ate_dr = ate_est = None
     if gt_rows_list is not None:
         gt_all = np.concatenate(gt_rows_list, axis=0)
-        dr_all = se3.from_rodrigues_xyz(jnp.asarray(np.concatenate(dr_rows), jnp.float32))
+        # one jitted program (op-by-op Rodrigues costs a dispatch per op)
+        dr_all = jax.jit(se3.from_rodrigues_xyz)(
+            jnp.asarray(np.concatenate(dr_rows), jnp.float32)
+        )
         ate_dr = trajectory_ate(dr_all, gt_all)
         ate_est = trajectory_ate(poses, gt_all)
     timings["evaluation"] = time.perf_counter() - t0
@@ -660,7 +663,9 @@ def run_slam(
     if out_dir is not None:
         from .trajectory import save_poses_quat, save_poses_rpy
 
-        dr_all = se3.from_rodrigues_xyz(jnp.asarray(np.concatenate(dr_rows), jnp.float32))
+        dr_all = jax.jit(se3.from_rodrigues_xyz)(
+            jnp.asarray(np.concatenate(dr_rows), jnp.float32)
+        )
         save_poses_rpy(f"{out_dir}/dr_poses_all.txt", dr_all)
         save_poses_rpy(f"{out_dir}/est_poses_all.txt", poses)
         if len(frames) == 2:

@@ -484,7 +484,16 @@ def build_ba_problem(
 
     from .pose_graph import build_chain_graph
 
-    dr_rows = [np.asarray(f.dr_poses) for f in frames]
+    # batched device->host fetches: ONE stacked dispatch per attr/shape group
+    # instead of one full-geo-image transfer per PAIR-loop iteration (frames
+    # in several pairs were re-fetched each time)
+    from ..pipeline import _fetch_frame_arrays_host
+
+    involved = sorted({k for ij in pair_ids for k in ij} | set(range(len(frames))))
+    dr_h, geo_h, alts_h = _fetch_frame_arrays_host(
+        frames, involved, attrs=("dr_poses", "geo", "altitudes")
+    )
+    dr_rows = [dr_h[k] for k in range(len(frames))]
     offsets = np.cumsum([0] + [r.shape[0] for r in dr_rows])
 
     kp_i, kp_j, sr_s, sr_t, lm0 = [], [], [], [], []
@@ -501,10 +510,10 @@ def build_ba_problem(
         kp_j.append(offsets[j] + ping_t)
         sr_s.append(rows[:, 2])
         sr_t.append(rows[:, 5])
-        geo_s = np.asarray(frames[i].geo)
-        geo_t = np.asarray(frames[j].geo)
-        alts_s = np.asarray(frames[i].altitudes)
-        alts_t = np.asarray(frames[j].altitudes)
+        geo_s = geo_h[i]
+        geo_t = geo_h[j]
+        alts_s = alts_h[i]
+        alts_t = alts_h[j]
         g1 = geo_s[ping_s, bin_s]
         g2 = geo_t[ping_t, bin_t]
         if ba_cfg.max_geo_discrepancy > 0:

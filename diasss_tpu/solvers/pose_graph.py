@@ -459,6 +459,26 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig(),
     return poses, info
 
 
+@jax.jit
+def _build_chain_device(rows):
+    dr_poses = se3.from_rodrigues_xyz(rows)
+    P = rows.shape[0]
+    odo_meas = se3.between(dr_poses[: P - 1], dr_poses[1:])
+    return dr_poses, odo_meas
+
+
+@jax.jit
+def _build_chain_device_noise(rows, noise_sig, noise_key):
+    dr_poses = se3.from_rodrigues_xyz(rows)
+    P = rows.shape[0]
+    odo_meas = se3.between(dr_poses[: P - 1], dr_poses[1:])
+    noise = jax.random.normal(noise_key, (P, 6)) * noise_sig
+    # first pose stays exact (it is the gauge)
+    noise = noise.at[0].set(0.0)
+    poses0 = se3.compose(dr_poses, se3.expmap(noise.astype(jnp.float32)))
+    return poses0, odo_meas
+
+
 def build_chain_graph(
     dr_rows_list,
     lc_i,
@@ -480,11 +500,8 @@ def build_chain_graph(
     import numpy as np
 
     rows = jnp.asarray(np.concatenate(dr_rows_list, axis=0), jnp.float32)
-    dr_poses = se3.from_rodrigues_xyz(rows)
-    P = rows.shape[0]
-    odo_meas = se3.between(dr_poses[jnp.arange(P - 1)], dr_poses[jnp.arange(1, P)])
 
-    deg = jnp.pi / 180.0
+    deg = np.pi / 180.0
     odo_sigmas = jnp.asarray(
         [
             cfg.odo_sigma_ro_deg * deg,
@@ -497,17 +514,20 @@ def build_chain_graph(
         jnp.float32,
     )
 
-    poses0 = dr_poses
+    # ONE jitted program for the device math: op-by-op dispatch of the
+    # Rodrigues/between/compose chains cost ~40 tiny programs — and on a
+    # remote-dispatch tunnel ~10-20 ms latency EACH (~0.7 s of the 12k-pose
+    # bench's pose_graph stage before this)
     if noise_key is not None:
-        noise = jax.random.normal(noise_key, (P, 6)) * jnp.concatenate(
+        noise_sig = jnp.concatenate(
             [
-                jnp.full((3,), cfg.init_noise_rpy_deg * deg),
-                jnp.full((3,), cfg.init_noise_xyz),
+                jnp.full((3,), cfg.init_noise_rpy_deg * deg, jnp.float32),
+                jnp.full((3,), cfg.init_noise_xyz, jnp.float32),
             ]
         )
-        # first pose stays exact (it is the gauge)
-        noise = noise.at[0].set(0.0)
-        poses0 = se3.compose(dr_poses, se3.expmap(noise.astype(jnp.float32)))
+        poses0, odo_meas = _build_chain_device_noise(rows, noise_sig, noise_key)
+    else:
+        poses0, odo_meas = _build_chain_device(rows)
 
     return PoseGraph(
         poses0=poses0,
