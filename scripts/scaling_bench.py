@@ -164,6 +164,49 @@ if args.seq_poses:
         f"{dt:.1f} s  ({Pb / dt:,.0f} poses/s per solve)"
     )
 
+if args.seq_poses:
+    # --- DP-sharded whole-survey matching long-mission point ---
+    from diasss_tpu.config import MatcherConfig
+    from diasss_tpu.features.detector import DetectedFeatures
+    from diasss_tpu.matching.robust import robust_matching_stacked
+
+    rngm = np.random.default_rng(5)
+    F, Km, Dm = 12, 512, 128
+    n_pings_m, n_bins_m = 400, 64
+    gras_m = np.linspace(5.0, 20.0, n_bins_m // 2).astype(np.float32)
+    geo_list_m, feats_m = [], []
+    for f in range(F):
+        dr = np.zeros((n_pings_m, 6), np.float32)
+        dr[:, 3] = np.arange(n_pings_m) * 0.12
+        dr[:, 4] = 3.0 * f
+        geo_list_m.append(sonar.geo_image(
+            jnp.asarray(dr[:, 3:5]), jnp.asarray(dr[:, 2]),
+            jnp.asarray(gras_m), n_bins_m,
+        ))
+        feats_m.append(DetectedFeatures(
+            xy=jnp.asarray(rngm.uniform(5, 350, (Km, 2)), jnp.float32),
+            response=jnp.zeros(Km, jnp.float32),
+            angle=jnp.zeros(Km, jnp.float32),
+            size=jnp.full((Km,), 31.0, jnp.float32),
+            level=jnp.zeros(Km, jnp.int32),
+            desc=jnp.asarray(rngm.normal(0, 60, (Km, Dm)), jnp.float32),
+            valid=jnp.ones(Km, bool),
+        ))
+    pair_ids_m = [(i, i + 1) for i in range(F - 1)] + [(i, i + 2) for i in range(F - 2)]
+    cfg_m = MatcherConfig(ratio_test=0.9, geo_radius=12.0)
+    img_ids_m = list(range(F))
+    rows_m = [n_pings_m] * F
+
+    for label, mm in (("1 device ", None), ("8 devices", make_mesh(8))):
+        robust_matching_stacked(pair_ids_m, img_ids_m, feats_m, geo_list_m,
+                                rows_m, cfg_m, mesh=mm)  # compile
+        t0 = time.perf_counter()
+        out_m = robust_matching_stacked(pair_ids_m, img_ids_m, feats_m,
+                                        geo_list_m, rows_m, cfg_m, mesh=mm)
+        dt = time.perf_counter() - t0
+        print(f"DP-sharded stacked matching ({label}): {len(pair_ids_m)} pairs "
+              f"x {Km} kps: {dt:.2f} s  ({len(pair_ids_m)/dt:,.1f} pairs/s)")
+
 results = {}
 lc_sweep = [] if args.skip_lc_sweep else [1, 2, 4, 8]
 for n_dev in lc_sweep:
