@@ -118,6 +118,11 @@ def _overlap_pairs(frames: List[Keyframe], min_overlap: float,
     return out
 
 
+# module-level wrapper: jax.jit(fn) AT THE CALL SITE builds a fresh wrapper
+# (and retraces) every call
+_from_rodrigues_jit = jax.jit(se3.from_rodrigues_xyz)
+
+
 @jax.jit
 def _bbox_batch(geo: jnp.ndarray) -> jnp.ndarray:
     """(G, N, M, 2) geo stack -> (G, 4) [xmin, xmax, ymin, ymax]."""
@@ -652,7 +657,7 @@ def run_slam(
     if gt_rows_list is not None:
         gt_all = np.concatenate(gt_rows_list, axis=0)
         # one jitted program (op-by-op Rodrigues costs a dispatch per op)
-        dr_all = jax.jit(se3.from_rodrigues_xyz)(
+        dr_all = _from_rodrigues_jit(
             jnp.asarray(np.concatenate(dr_rows), jnp.float32)
         )
         ate_dr = trajectory_ate(dr_all, gt_all)
@@ -663,7 +668,7 @@ def run_slam(
     if out_dir is not None:
         from .trajectory import save_poses_quat, save_poses_rpy
 
-        dr_all = jax.jit(se3.from_rodrigues_xyz)(
+        dr_all = _from_rodrigues_jit(
             jnp.asarray(np.concatenate(dr_rows), jnp.float32)
         )
         save_poses_rpy(f"{out_dir}/dr_poses_all.txt", dr_all)
