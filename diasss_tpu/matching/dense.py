@@ -359,6 +359,7 @@ def dense_matching_stacked(
     geo_list,
     det_cfg: DetectorConfig,
     cfg: DenseMatchConfig,
+    mesh=None,
 ):
     """Whole-survey dense matching: every frame rasterized once at the
     survey-common raster shape, every gated pair correlated + smoothness-
@@ -368,6 +369,10 @@ def dense_matching_stacked(
     all frames to share the keypoint capacity K (the pipeline pads features to
     the survey max, pipeline.py:_match_pairs).  Returns
     ``{(i, j): (rows_s, rows_t, n)}`` in the corres_kps layout.
+
+    ``mesh``: optional 1-axis mesh — the pair axis is DP-sharded over its
+    devices (rasters replicated), mirroring ``robust_matching_stacked``; the
+    multi-chip path for the automatic profile's default matcher.
     """
     res = det_cfg.geopatch_res
     F = len(feats_list)
@@ -397,6 +402,25 @@ def dense_matching_stacked(
     si = jnp.asarray([i for (i, j) in pair_ids], jnp.int32)
     ti = jnp.asarray([j for (i, j) in pair_ids], jnp.int32)
 
+    n_pairs = len(pair_ids)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        n_dev = mesh.shape[axis]
+        pad = (-n_pairs) % n_dev
+        if pad:
+            # dummy pairs fill the last shard; results sliced off below
+            si = jnp.concatenate([si, jnp.zeros((pad,), jnp.int32)])
+            ti = jnp.concatenate([ti, jnp.zeros((pad,), jnp.int32)])
+        shard = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+        si, ti = jax.device_put(si, shard), jax.device_put(ti, shard)
+        rimg, rcnt, rping, rcol, x0s, y0s, geo_kps, kp_valid = (
+            jax.device_put(a, rep)
+            for a in (rimg, rcnt, rping, rcol, x0s, y0s, geo_kps, kp_valid)
+        )
+
     n_ring = int(np.ceil(cfg.search_radius / res))
     # each lax.map step inside _correlate is already n_pairs wide when
     # stacked — shrink the per-step offset batch to bound the gather working
@@ -410,16 +434,18 @@ def dense_matching_stacked(
         min_neighbors=int(cfg.smooth_min_neighbors), tol=float(cfg.smooth_tol),
         batch_size=batch,
     )
-    # one transfer for the whole survey
-    keep_np = np.asarray(keep)
-    ping_np = np.asarray(dm.tgt_ping)
-    col_np = np.asarray(dm.tgt_col)
+    # ONE batched transfer for the whole survey (incl. all frames' kp coords —
+    # the per-pair np.asarray(xy) fetch cost a round trip per pair)
+    keep_np, ping_np, col_np, xy_np = jax.device_get(
+        (keep[:n_pairs], dm.tgt_ping[:n_pairs], dm.tgt_col[:n_pairs],
+         jnp.stack([f.xy for f in feats_list]))
+    )
 
     out = {}
     for p, (i, j) in enumerate(pair_ids):
         idx = np.nonzero(keep_np[p])[0]
         n = len(idx)
-        xy = np.asarray(feats_list[i].xy)
+        xy = xy_np[i]
         rows_s = np.empty((n, 6), np.float64)
         rows_s[:, 0] = img_ids[i]
         rows_s[:, 1] = img_ids[j]

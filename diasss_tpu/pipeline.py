@@ -275,6 +275,7 @@ def _match_pairs_dense(frames, feats, geo_list, pair_ids, cfg: PipelineConfig,
     if stacked and same_caps and pair_ids:
         from .matching.dense import dense_matching_stacked
 
+        mesh = _maybe_mesh(cfg)
         results = dense_matching_stacked(
             pair_ids,
             [f.img_id for f in frames],
@@ -283,8 +284,11 @@ def _match_pairs_dense(frames, feats, geo_list, pair_ids, cfg: PipelineConfig,
             geo_list,
             cfg.detector,
             matcher_cfg.dense,
+            mesh=mesh,
         )
         count("match_stacked_pairs", len(pair_ids))
+        if mesh is not None:
+            count("match_mesh_devices", int(mesh.devices.size))
         for (i, j), (rows_s, rows_t, n) in results.items():
             if n:
                 corres_rows[i].append((frames[j].img_id, rows_s))

@@ -248,3 +248,33 @@ class TestSmoothFilter:
         ok = np.zeros(8, bool)
         got = _smooth_filter(np.zeros((8, 2)), np.zeros((8, 2)), ok, DenseMatchConfig())
         assert not got.any()
+
+
+class TestDenseMatchingMesh:
+    def test_mesh_matches_single_device(self, drifting_survey):
+        """DP-sharded pair axis (dense_matching_stacked(mesh=...)): identical
+        rows to the single-device stacked dispatch; 3 pairs on 8 devices
+        exercises the dummy-pair padding."""
+        import jax
+
+        from diasss_tpu.matching.dense import dense_matching_stacked
+        from diasss_tpu.parallel.shard import make_mesh
+
+        assert len(jax.devices()) >= 8
+        survey, frames = drifting_survey
+        dcfg = DetectorConfig(descriptor="geo_patch", n_features=1200)
+        feats = [detect_features(f.norm, f.mask, dcfg) for f in frames]
+        cfg = DenseMatchConfig(search_radius=10.0)
+        pair_ids = [(0, 1), (0, 2), (1, 2)]
+        geos = [f.geo for f in frames]
+        args = (pair_ids, [f.img_id for f in frames], feats,
+                [f.norm for f in frames], geos, dcfg, cfg)
+        ref = dense_matching_stacked(*args)
+        out = dense_matching_stacked(*args, mesh=make_mesh(8))
+        total = 0
+        for key in pair_ids:
+            assert out[key][2] == ref[key][2], key
+            np.testing.assert_allclose(out[key][0], ref[key][0])
+            np.testing.assert_allclose(out[key][1], ref[key][1])
+            total += ref[key][2]
+        assert total > 20
