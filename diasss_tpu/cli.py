@@ -52,6 +52,9 @@ def main(argv=None) -> int:
     parser.add_argument("--window", type=int, default=None, metavar="W",
                         help="--online: fixed-lag window of W frames — per-frame solve "
                              "cost stays O(window) on unbounded streams")
+    parser.add_argument("--mesh", type=int, default=None, metavar="N",
+                        help="run global solves + stacked matching over an N-device "
+                             "mesh (sequence-parallel solvers, DP-sharded matchers)")
     args = parser.parse_args(argv)
 
     import jax
@@ -74,6 +77,8 @@ def main(argv=None) -> int:
         pipe_cfg = PipelineConfig(estimator=args.estimator)
     if args.min_overlap is not None:
         pipe_cfg = dataclasses.replace(pipe_cfg, min_overlap=args.min_overlap)
+    if args.mesh:
+        pipe_cfg = dataclasses.replace(pipe_cfg, mesh_devices=args.mesh)
     if args.detected and not args.auto:
         from .config import DetectorConfig, MatcherConfig, PoseGraphConfig
 

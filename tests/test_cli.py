@@ -51,3 +51,30 @@ def test_cli_end_to_end(tmp_path):
     # reference text artifacts
     assert (out / "annotated_kps.txt").exists()
     assert (out / "ini_lm_errors.txt").exists()
+
+
+def test_cli_mesh(tmp_path):
+    """--mesh N routes global solves + stacked matching through an N-device
+    mesh (8 virtual CPU devices via conftest's XLA_FLAGS)."""
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "diasss_tpu.synthetic", str(tmp_path / "ds"), "2", "150", "512"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr
+    args = [
+        sys.executable, "-m", "diasss_tpu.cli",
+        "--image", str(tmp_path / "ds/img-xml"),
+        "--pose", str(tmp_path / "ds/pose-xml"),
+        "--altitude", str(tmp_path / "ds/altitude"),
+        "--groundrange", str(tmp_path / "ds/groundrange"),
+        "--annotation", str(tmp_path / "ds/annos-xml"),
+        "--gt", str(tmp_path / "ds/gt-poses"),
+        "--mesh", "8", "--cpu", "--no-eval2",
+    ]
+    r = subprocess.run(args, cwd=repo, env=env, capture_output=True, text=True, timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ATE DR/EST" in r.stdout
