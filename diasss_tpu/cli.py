@@ -52,6 +52,9 @@ def main(argv=None) -> int:
     parser.add_argument("--window", type=int, default=None, metavar="W",
                         help="--online: fixed-lag window of W frames — per-frame solve "
                              "cost stays O(window) on unbounded streams")
+    parser.add_argument("--mosaic", default=None, metavar="FILE.png",
+                        help="write a drift-corrected world mosaic rendered from the "
+                             "ESTIMATED poses (batch mode only)")
     parser.add_argument("--mesh", type=int, default=None, metavar="N",
                         help="run global solves + stacked matching over an N-device "
                              "mesh (sequence-parallel solvers, DP-sharded matchers)")
@@ -186,6 +189,15 @@ def main(argv=None) -> int:
         )
     result.timings.update(load_timings)
     print(f"SLAM solved ({time.perf_counter()-t0:.2f}s)")
+
+    if args.mosaic:
+        from .mosaic import build_mosaic, save_mosaic_png
+        from .pipeline import _estimated_geo
+
+        est_geo = _estimated_geo(frames, result.poses)
+        m, _, _, _ = build_mosaic(frames, geo_list=est_geo)
+        save_mosaic_png(args.mosaic, m)
+        print(f"estimated-pose mosaic written to {args.mosaic}")
 
     print(f"pairs: {result.pair_ids}; loop closures accepted: {result.n_lc_accepted}")
     print("throughput:", result.summary())

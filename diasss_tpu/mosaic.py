@@ -37,13 +37,19 @@ def build_mosaic(
     frames: List[Keyframe],
     resolution: float = 0.25,
     margin: float = 5.0,
+    geo_list=None,
 ):
     """Average-intensity world mosaic of all frames.
 
+    ``geo_list`` optionally overrides each frame's geo image — pass the
+    estimated-pose geo (pipeline._estimated_geo) for a drift-corrected SLAM
+    map product instead of the DR-referenced one.
+
     Returns (mosaic (H, W) float32 with NaN where no data, x0, y0, resolution).
     """
-    xs = np.concatenate([np.asarray(f.geo[..., 0]).ravel() for f in frames])
-    ys = np.concatenate([np.asarray(f.geo[..., 1]).ravel() for f in frames])
+    geos = geo_list if geo_list is not None else [f.geo for f in frames]
+    xs = np.concatenate([np.asarray(g[..., 0]).ravel() for g in geos])
+    ys = np.concatenate([np.asarray(g[..., 1]).ravel() for g in geos])
     x0 = float(xs.min() - margin)
     y0 = float(ys.min() - margin)
     width = int((xs.max() + margin - x0) / resolution) + 1
@@ -51,9 +57,9 @@ def build_mosaic(
 
     total = jnp.zeros((height, width), jnp.float32)
     count = jnp.zeros((height, width), jnp.float32)
-    for f in frames:
+    for f, g in zip(frames, geos):
         intens = normalize_columns(f.raw)
-        s, c = _accumulate(intens, f.geo, x0, y0, resolution, width, height)
+        s, c = _accumulate(intens, g, x0, y0, resolution, width, height)
         total = total + s
         count = count + c
     mosaic = jnp.where(count > 0, total / jnp.maximum(count, 1.0), jnp.nan)
