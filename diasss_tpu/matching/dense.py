@@ -406,13 +406,13 @@ def dense_matching_stacked(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from ..padding import pad_to_multiple
+
         axis = mesh.axis_names[0]
         n_dev = mesh.shape[axis]
-        pad = (-n_pairs) % n_dev
-        if pad:
-            # dummy pairs fill the last shard; results sliced off below
-            si = jnp.concatenate([si, jnp.zeros((pad,), jnp.int32)])
-            ti = jnp.concatenate([ti, jnp.zeros((pad,), jnp.int32)])
+        # dummy pairs fill the last shard; results sliced off below
+        si = pad_to_multiple(si, n_dev)
+        ti = pad_to_multiple(ti, n_dev)
         shard = NamedSharding(mesh, P(axis))
         rep = NamedSharding(mesh, P())
         si, ti = jax.device_put(si, shard), jax.device_put(ti, shard)

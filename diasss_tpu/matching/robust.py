@@ -54,21 +54,14 @@ def _ring_nn(geo_q, feats_q, geo_r, feats_r, bbox_r, cfg, pflip, mesh):
     padded slots are ``valid=False`` so decisions are unchanged."""
     from ..parallel.ring import ring_geo_nn_search
 
+    from ..padding import pad_to_multiple
+
     n_dev = mesh.shape[mesh.axis_names[0]]
-
-    def padk(geo, desc, valid):
-        k = geo.shape[0]
-        pad = (-k) % n_dev
-        if not pad:
-            return geo, desc, valid
-        z = lambda a: jnp.concatenate(
-            [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)]
-        )
-        return z(geo), z(desc), z(valid)
-
     kq = geo_q.shape[0]
-    gq, dq, vq = padk(geo_q, feats_q.desc, feats_q.valid)
-    gr, dr, vr = padk(geo_r, feats_r.desc, feats_r.valid)
+    gq, dq, vq = (pad_to_multiple(a, n_dev)
+                  for a in (geo_q, feats_q.desc, feats_q.valid))
+    gr, dr, vr = (pad_to_multiple(a, n_dev)
+                  for a in (geo_r, feats_r.desc, feats_r.valid))
     out = ring_geo_nn_search(
         gq, dq, vq, gr, dr, vr, bbox_r, cfg, pflip, mesh,
         axis=mesh.axis_names[0],
@@ -335,18 +328,14 @@ def robust_matching_stacked(
 
         axis = mesh.axis_names[0]
         n_dev = mesh.shape[axis]
-        pad = (-n_pairs) % n_dev
-        if pad:
-            # dummy pairs (frame 0 vs itself) fill the last shard; their
-            # results are sliced off before the merge
-            def padp(a):
-                return jnp.concatenate(
-                    [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)]
-                )
+        from ..padding import pad_to_multiple
 
-            src, tgt, bounds, parity, keys = (
-                padp(src), padp(tgt), padp(bounds), padp(parity), padp(keys)
-            )
+        # dummy pairs (frame 0 vs itself) fill the last shard; their results
+        # are sliced off before the merge
+        src, tgt, bounds, parity, keys = (
+            pad_to_multiple(a, n_dev)
+            for a in (src, tgt, bounds, parity, keys)
+        )
         shard = NamedSharding(mesh, P(axis))
         rep = NamedSharding(mesh, P())
         src, tgt, bounds, parity, keys = (

@@ -260,12 +260,10 @@ class OnlineSlam:
         k_cap = bucket_capacity(k, base=64)
         poses0, odo_meas = _pad_chain_to(prob.poses0, prob.odo_meas, p_cap)
 
+        from .padding import pad_rows
+
         def zpad(a, fill):
-            if k_cap <= k:
-                return a
-            return jnp.concatenate(
-                [a, jnp.full((k_cap - k, *a.shape[1:]), fill, a.dtype)]
-            )
+            return pad_rows(a, k_cap, fill)
 
         fixed = {}
         if prob.kp_i_fix is not None:

@@ -106,11 +106,10 @@ def reshard_rows(mesh: Mesh, tree, dest, valid=None, capacity: int | None = None
         capacity = max(1, int(np.ceil(k / (n * n))) * 2)
     pad = (-k) % n
     if pad:
-        zpad = lambda a: jnp.concatenate(
-            [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)]
-        )
-        tree = jax.tree_util.tree_map(zpad, tree)
-        dest = jnp.concatenate([dest, jnp.zeros((pad,), dest.dtype)])
-        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+        from ..padding import pad_rows, pad_rows_tree
+
+        tree = pad_rows_tree(tree, k + pad)
+        dest = pad_rows(dest, k + pad)
+        valid = pad_rows(valid, k + pad)
     out, vout, sent, dropped = _reshard_run(tree, dest, valid, mesh, int(capacity), axis)
     return out, vout, int(np.asarray(dropped).sum())

@@ -145,20 +145,10 @@ def _pad_feats_common(feats):
         return feats, False  # mixed descriptor families cannot stack
     cap = max(caps)
 
+    from .padding import pad_rows_tree
+
     def pad(f):
-        k = int(f.xy.shape[0])
-        if k == cap:
-            return f
-        n = cap - k
-
-        def z(a):
-            return jnp.concatenate([a, jnp.zeros((n, *a.shape[1:]), a.dtype)])
-
-        return f._replace(
-            xy=z(f.xy), response=z(f.response), angle=z(f.angle), size=z(f.size),
-            level=z(f.level), desc=z(f.desc),
-            valid=jnp.concatenate([f.valid, jnp.zeros((n,), bool)]),
-        )
+        return pad_rows_tree(f, cap) if int(f.xy.shape[0]) < cap else f
 
     return [pad(f) for f in feats], True
 
