@@ -68,7 +68,10 @@ def reference_stream_proxy(n_pings: int = 3000) -> float:
 
 
 def run(n_lines=5, n_pings=600, n_bins=512, n_landmarks=60, n_passes=3):
+    from diasss_tpu.cache import enable_compile_cache
     from diasss_tpu.config import PipelineConfig
+
+    enable_compile_cache()  # warmup compiles hit the persistent cache
     from diasss_tpu.frame import build_keyframes_batch
     from diasss_tpu.pipeline import run_slam
     from diasss_tpu.synthetic import make_survey

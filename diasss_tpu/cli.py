@@ -58,12 +58,21 @@ def main(argv=None) -> int:
     parser.add_argument("--mesh", type=int, default=None, metavar="N",
                         help="run global solves + stacked matching over an N-device "
                              "mesh (sequence-parallel solvers, DP-sharded matchers)")
+    parser.add_argument("--no-compile-cache", action="store_true",
+                        help="disable the persistent XLA compilation cache "
+                             "(default: ~/.cache/diasss_tpu/xla or $DIASSS_TPU_CACHE)")
     args = parser.parse_args(argv)
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if not args.no_compile_cache:
+        # first pipeline compile is minutes per shape (PERF.md "Known costs");
+        # the persistent cache pays it once per machine, not once per process
+        from .cache import enable_compile_cache
+
+        enable_compile_cache()
 
     import numpy as np
 

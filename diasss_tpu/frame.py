@@ -196,13 +196,17 @@ def build_keyframes_batch(
     dispatches; otherwise falls back to per-frame construction.  Same values
     as the per-frame path.
     """
-    shapes = {(np.shape(it[1]), np.shape(it[2])) for it in items}
+    shapes = {(np.shape(it[1]), np.shape(it[2]), np.shape(it[3])) for it in items}
     if len(shapes) != 1:
         return [build_keyframe(*it, norm_cfg=norm_cfg, mask_cfg=mask_cfg, dtype=dtype)
                 for it in items]
     raws = jnp.asarray(np.stack([it[1] for it in items]), dtype)
     poses = jnp.asarray(np.stack([it[2] for it in items]), dtype)
     grs = jnp.asarray(np.stack([it[4] for it in items]), dtype)
+    # altitudes ride the same stacked upload (len == n_pings, guaranteed by
+    # the same-shape gate above): per-frame jnp.asarray cost one host->device
+    # transfer per FRAME through the remote tunnel
+    alts = jnp.asarray(np.stack([it[3] for it in items]), dtype)
     norms, masks, geos = _preprocess_batch(raws, poses, grs, norm_cfg, mask_cfg)
     out = []
     for k, it in enumerate(items):
@@ -215,7 +219,7 @@ def build_keyframes_batch(
                 mask=masks[k],
                 geo=geos[k],
                 dr_poses=poses[k],
-                altitudes=jnp.asarray(it[3], dtype),
+                altitudes=alts[k],
                 ground_ranges=grs[k],
                 annos=np.zeros((0, 7), np.int64) if annos is None else np.asarray(annos),
             )

@@ -51,6 +51,14 @@ def solve_block_tridiag(D: jnp.ndarray, U: jnp.ndarray, b: jnp.ndarray) -> jnp.n
 
     Pure recursion over halved systems — trace-time depth is ceil(log2(P)), and
     every level is one batch of 6x6 Cholesky factorizations and GEMMs.
+
+    A dense-tail cutoff (stop recursing at <=64 block-rows, finish with one
+    dense (6P, 6P) Cholesky) was tried and REJECTED — measured TPU v5e at the
+    12k-pose bench graph: the 30-trial direct LM solve went 0.97 s -> 13.7 s
+    steady-state.  The deep narrow levels are NOT a latency problem (the whole
+    recursion lives inside one jitted program; the batched 6x6 einsums are
+    cheap), while dense Cholesky/triangular solves at a few hundred rows are
+    exactly the latency-bound TPU shape `_invert_blocks` exists to avoid.
     """
     P = D.shape[0]
     if P == 1:

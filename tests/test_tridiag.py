@@ -34,7 +34,7 @@ def make_system(P, rng):
     return D, U, b, T
 
 
-@pytest.mark.parametrize("P", [1, 2, 3, 5, 8, 17, 64, 127])
+@pytest.mark.parametrize("P", [1, 2, 3, 5, 8, 17, 64, 65, 127, 128])
 def test_matches_dense_solve(P, rng):
     D, U, b, T = make_system(P, rng)
     x_ref = np.linalg.solve(T, b.ravel()).reshape(P, 6)
@@ -44,6 +44,25 @@ def test_matches_dense_solve(P, rng):
         )
     )
     np.testing.assert_allclose(x, x_ref, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("P", [63, 64, 65, 130])
+def test_multi_rhs_dense_tail_matches_thomas(P, rng):
+    """The two multi-RHS chain solves used by the direct Woodbury LM step
+    must agree: cyclic reduction == the sequential block-Thomas scan
+    (guards any future recursion-restructure, e.g. a dense-tail cutoff —
+    tried and rejected, see solve_block_tridiag's docstring)."""
+    from diasss_tpu.solvers.tridiag import (
+        solve_block_tridiag_multi,
+        thomas_block_tridiag_multi,
+    )
+
+    D, U, _, _ = make_system(P, rng)
+    B = jnp.asarray(rng.normal(size=(P, 6, 7)), jnp.float32)
+    Dj, Uj = jnp.asarray(D, jnp.float32), jnp.asarray(U, jnp.float32)
+    x_cr = np.asarray(solve_block_tridiag_multi(Dj, Uj, B))
+    x_th = np.asarray(thomas_block_tridiag_multi(Dj, Uj, B))
+    np.testing.assert_allclose(x_cr, x_th, rtol=2e-3, atol=2e-4)
 
 
 def test_identity_system(rng):
