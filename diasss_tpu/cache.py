@@ -24,8 +24,13 @@ def enable_compile_cache(path: str | None = None) -> str:
     path = path or os.environ.get(
         "DIASSS_TPU_CACHE", os.path.expanduser("~/.cache/diasss_tpu/xla")
     )
-    os.makedirs(path, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", path)
-    # the pipeline's many small programs all benefit; only skip trivial ones
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # pipeline programs all benefit; only skip trivial ones
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except OSError:
+        # an unwritable cache location must never break the pipeline —
+        # degrade to uncached compiles
+        return ""
     return path

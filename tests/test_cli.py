@@ -78,3 +78,24 @@ def test_cli_mesh(tmp_path):
     r = subprocess.run(args, cwd=repo, env=env, capture_output=True, text=True, timeout=500)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "ATE DR/EST" in r.stdout
+
+
+def test_compile_cache_helper(tmp_path):
+    """enable_compile_cache points JAX at the given dir; an unwritable
+    location degrades to uncached compiles instead of raising."""
+    import jax
+
+    from diasss_tpu.cache import enable_compile_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        d = str(tmp_path / "xla_cache")
+        assert enable_compile_cache(d) == d
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+        # a path under a FILE cannot be created -> graceful empty return
+        blocker = tmp_path / "blocker"
+        blocker.write_text("x")
+        assert enable_compile_cache(str(blocker / "sub")) == ""
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
