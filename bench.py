@@ -81,9 +81,13 @@ def run(n_lines=5, n_pings=600, n_bins=512, n_landmarks=60, n_passes=3):
 
     def one_pass():
         t0 = time.perf_counter()
+        # host_preprocess: normalize+mask on host (the reference's own CPU
+        # placement) and upload uint8+packed-bits instead of the float32 raw
+        # raster — 3.6x fewer bytes through the (tunneled) host->device link
         frames = build_keyframes_batch(
             [(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
-             for l in survey.lines]
+             for l in survey.lines],
+            host_preprocess=True,
         )
         result = run_slam(frames, PipelineConfig(), run_eval2=False)
         return time.perf_counter() - t0, result

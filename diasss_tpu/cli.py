@@ -58,6 +58,10 @@ def main(argv=None) -> int:
     parser.add_argument("--mesh", type=int, default=None, metavar="N",
                         help="run global solves + stacked matching over an N-device "
                              "mesh (sequence-parallel solvers, DP-sharded matchers)")
+    parser.add_argument("--no-host-preprocess", action="store_true",
+                        help="normalize/mask on device from the raw raster instead of "
+                             "on host (host preprocessing uploads 3.6x fewer bytes and "
+                             "mirrors the reference's CPU placement, frame.cpp:57-124)")
     parser.add_argument("--no-compile-cache", action="store_true",
                         help="disable the persistent XLA compilation cache "
                              "(default: ~/.cache/diasss_tpu/xla or $DIASSS_TPU_CACHE)")
@@ -122,6 +126,7 @@ def main(argv=None) -> int:
     frames, feats, load_timings = load_keyframes_pipelined(
         args.image, args.pose, args.altitude, args.groundrange, args.annotation,
         detector_cfg=None if (use_anno or args.online) else pipe_cfg.detector,
+        host_preprocess=not args.no_host_preprocess,
     )
     wall = time.perf_counter() - t0
     print(

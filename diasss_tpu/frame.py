@@ -110,23 +110,34 @@ def build_keyframe(
     norm_cfg: NormalizeConfig = NormalizeConfig(),
     mask_cfg: MaskConfig = MaskConfig(),
     dtype=jnp.float32,
+    host_preprocess: bool = False,
 ) -> Keyframe:
     """Assemble a Keyframe: upload tensors, run the preprocessing ops.
 
     Equivalent of the reference Frame constructor (frame.cpp:18-55) minus feature
     detection (attached separately by the feature pipeline).
+    ``host_preprocess``: see :func:`build_keyframes_batch`.
     """
     from .geometry import sonar
 
-    raw_j = jnp.asarray(raw, dtype)
     poses_j = jnp.asarray(dr_poses, dtype)
     alts_j = jnp.asarray(altitudes, dtype)
     grs_j = jnp.asarray(ground_ranges, dtype)
     n_bins = raw.shape[1]
-    # one jitted program for the whole preprocess (op-by-op dispatch costs a
-    # tunnel round trip per op on remote-dispatch setups; the batch path
-    # already had this via _preprocess_batch)
-    norm, mask, geo = _preprocess_one(raw_j, poses_j, grs_j, norm_cfg, mask_cfg)
+    if host_preprocess:
+        raw_np = np.asarray(raw)[None]
+        n, m = raw_np.shape[1], raw_np.shape[2]
+        norm = jnp.asarray(_normalize_sss_np(raw_np, norm_cfg)[0])
+        packed = np.packbits(_filtered_mask_np(raw_np, mask_cfg).reshape(1, -1), axis=1)
+        mask = _unpack_mask(jnp.asarray(packed), n, m)[0]
+        geo = _geo_batch(poses_j[None], grs_j[None], m)[0]
+        raw_j = np.asarray(raw, np.float32)  # host-resident
+    else:
+        raw_j = jnp.asarray(raw, dtype)
+        # one jitted program for the whole preprocess (op-by-op dispatch costs a
+        # tunnel round trip per op on remote-dispatch setups; the batch path
+        # already had this via _preprocess_batch)
+        norm, mask, geo = _preprocess_one(raw_j, poses_j, grs_j, norm_cfg, mask_cfg)
     return Keyframe(
         img_id=img_id,
         raw=raw_j,
@@ -155,6 +166,68 @@ def normalize_columns(raw: jnp.ndarray) -> jnp.ndarray:
     mx = jnp.max(x)
     x = (x - mn) * (255.0 / jnp.maximum(mx - mn, 1e-12))
     return jnp.round(x).astype(jnp.uint8)
+
+
+def _normalize_sss_np(raws: np.ndarray, cfg: NormalizeConfig) -> np.ndarray:
+    """Host (numpy) mirror of :func:`normalize_sss` over a stacked (F, N, M)
+    batch.  Same float32 math; ``np.round`` and ``jnp.round`` both round
+    half-to-even, so values differ from the device path only where the
+    frame-wide min/mean reductions differ in the last ulp (see
+    ``test_pipeline.test_host_preprocess_matches_device``)."""
+    raws = raws.astype(np.float32)
+    flat = raws.reshape(raws.shape[0], -1)
+    mn = flat.min(axis=1)[:, None, None]
+    max_used = flat.mean(axis=1, dtype=np.float32)[:, None, None] * cfg.mean_factor
+    out = (raws - mn) / (max_used - mn) * 255.0
+    np.clip(out, 0.0, 255.0, out=out)
+    return np.round(out).astype(np.uint8)
+
+
+def _filtered_mask_np(raws: np.ndarray, cfg: MaskConfig) -> np.ndarray:
+    """Host (numpy/scipy) mirror of :func:`filtered_mask` over (F, N, M):
+    the box-OR dilation is a maximum filter with zero-padding, identical to
+    the device ``reduce_window(..., bitwise_or, padding="SAME")``."""
+    from scipy.ndimage import maximum_filter
+
+    raws = raws.astype(np.float32)
+    f, n, m = raws.shape
+    mean = raws.reshape(f, -1).mean(axis=1, dtype=np.float32)[:, None, None]
+    bright = (raws > mean * cfg.bright_factor).astype(np.uint8)
+    r = cfg.bright_radius
+    dilated = maximum_filter(
+        bright, size=(1, 2 * r + 1, 2 * r + 1), mode="constant", cval=0
+    ).astype(bool)
+    rows = np.arange(n)[:, None]
+    cols = np.arange(m)[None, :]
+    center = (cols > m // 2 - cfg.center_width) & (cols < m // 2 + cfg.center_width)
+
+    def clamped_margin(ref_margin: int, dim: int) -> int:
+        return ref_margin if dim - 2 * ref_margin >= dim // 4 else dim // 4
+
+    side_p = clamped_margin(cfg.side_pings, n)
+    turn = (rows < side_p) | (rows > n - side_p)
+    side_c = clamped_margin(int(cfg.side_pings * cfg.side_cols_frac), m)
+    sides = (cols < side_c) | (cols > m - side_c)
+    return ~(dilated | (center | turn | sides)[None])
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m"))
+def _unpack_mask(packed: jnp.ndarray, n: int, m: int) -> jnp.ndarray:
+    """Device-side unpack of a host ``np.packbits`` mask: (F, ceil(N*M/8))
+    uint8 -> (F, N, M) bool.  Big-endian bit order (numpy default)."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)  # (F, B, 8)
+    flat = bits.reshape(packed.shape[0], -1)[:, : n * m]
+    return flat.reshape(packed.shape[0], n, m).astype(bool)
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins",))
+def _geo_batch(poses: jnp.ndarray, grs: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+    from .geometry import sonar
+
+    return jax.vmap(lambda p, g: sonar.geo_image(p[:, 3:5], p[:, 2], g, n_bins))(
+        poses, grs
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("norm_cfg", "mask_cfg"))
@@ -186,6 +259,7 @@ def build_keyframes_batch(
     norm_cfg: NormalizeConfig = NormalizeConfig(),
     mask_cfg: MaskConfig = MaskConfig(),
     dtype=jnp.float32,
+    host_preprocess: bool = False,
 ):
     """Batched :func:`build_keyframe`: ``items`` is a list of
     ``(img_id, raw, dr_poses, altitudes, ground_ranges, annos)`` tuples.
@@ -195,19 +269,40 @@ def build_keyframes_batch(
     program over the stacked ``(N, pings, bins)`` batch instead of 3*N
     dispatches; otherwise falls back to per-frame construction.  Same values
     as the per-frame path.
+
+    ``host_preprocess=True`` computes normalize + mask on the HOST (numpy,
+    exactly the reference's own CPU placement, frame.cpp:57-124) and uploads
+    only the uint8 normalized image plus a bit-packed mask — 3.6x fewer bytes
+    than the float32 raw raster.  On remote-dispatch (tunneled) devices the
+    raw-image upload is the dominant preprocessing cost (PERF.md); no
+    downstream device program reads ``raw`` (only the optional mosaic, which
+    uploads lazily).  Values match the device path except where the
+    frame-wide min/mean reductions differ in the last ulp.
     """
     shapes = {(np.shape(it[1]), np.shape(it[2]), np.shape(it[3])) for it in items}
     if len(shapes) != 1:
-        return [build_keyframe(*it, norm_cfg=norm_cfg, mask_cfg=mask_cfg, dtype=dtype)
+        return [build_keyframe(*it, norm_cfg=norm_cfg, mask_cfg=mask_cfg, dtype=dtype,
+                               host_preprocess=host_preprocess)
                 for it in items]
-    raws = jnp.asarray(np.stack([it[1] for it in items]), dtype)
     poses = jnp.asarray(np.stack([it[2] for it in items]), dtype)
     grs = jnp.asarray(np.stack([it[4] for it in items]), dtype)
     # altitudes ride the same stacked upload (len == n_pings, guaranteed by
     # the same-shape gate above): per-frame jnp.asarray cost one host->device
     # transfer per FRAME through the remote tunnel
     alts = jnp.asarray(np.stack([it[3] for it in items]), dtype)
-    norms, masks, geos = _preprocess_batch(raws, poses, grs, norm_cfg, mask_cfg)
+    raws_np = np.stack([it[1] for it in items])
+    if host_preprocess:
+        f, n, m = raws_np.shape[0], raws_np.shape[1], raws_np.shape[2]
+        norms_np = _normalize_sss_np(raws_np, norm_cfg)
+        masks_np = _filtered_mask_np(raws_np, mask_cfg)
+        packed = np.packbits(masks_np.reshape(f, -1), axis=1)
+        norms = jnp.asarray(norms_np)
+        masks = _unpack_mask(jnp.asarray(packed), n, m)
+        geos = _geo_batch(poses, grs, m)
+        raws = raws_np.astype(np.float32)  # stays on host; mosaic uploads lazily
+    else:
+        raws = jnp.asarray(raws_np, dtype)
+        norms, masks, geos = _preprocess_batch(raws, poses, grs, norm_cfg, mask_cfg)
     out = []
     for k, it in enumerate(items):
         annos = it[5] if len(it) > 5 else None

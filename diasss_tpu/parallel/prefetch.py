@@ -93,6 +93,7 @@ def load_keyframes_pipelined(
     detector_cfg=None,
     use_native: bool = True,
     depth: int = 2,
+    host_preprocess: bool = False,
 ):
     """Load a survey folder set with IO/compute overlap; returns
     ``(frames, feats_or_None, timings)``.
@@ -142,7 +143,8 @@ def load_keyframes_pipelined(
     frames = []
     feats = [] if detector_cfg is not None else None
     for i, img, pose, alt, gr, anno in prefetch_iter(thunks, depth=depth):
-        f = build_keyframe(i, img, pose, alt, gr, anno)
+        f = build_keyframe(i, img, pose, alt, gr, anno,
+                           host_preprocess=host_preprocess)
         frames.append(f)
         if detector_cfg is not None:
             from ..features import detect_features

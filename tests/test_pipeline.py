@@ -188,3 +188,34 @@ def test_build_keyframes_batch_matches_per_frame():
         np.testing.assert_array_equal(np.asarray(bf.mask), np.asarray(ref.mask))
         np.testing.assert_allclose(np.asarray(bf.geo), np.asarray(ref.geo),
                                    rtol=0, atol=1e-4)
+
+
+def test_host_preprocess_matches_device():
+    """host_preprocess=True (numpy normalize/mask, uint8 + packed-bits upload)
+    matches the device path: masks and geo exactly, norm within 1 grey level
+    on a vanishing fraction of pixels (the frame-wide min/mean reductions can
+    differ in the last ulp between numpy and XLA)."""
+    from diasss_tpu.frame import build_keyframes_batch
+
+    survey = make_survey(n_lines=3, n_pings=120, n_bins=256, n_landmarks=10, seed=5)
+    items = [
+        (l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+        for l in survey.lines
+    ]
+    dev = build_keyframes_batch(items)
+    host = build_keyframes_batch(items, host_preprocess=True)
+    for d, h in zip(dev, host):
+        diff = np.abs(
+            np.asarray(d.norm).astype(np.int32) - np.asarray(h.norm).astype(np.int32)
+        )
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-3
+        np.testing.assert_array_equal(np.asarray(d.mask), np.asarray(h.mask))
+        np.testing.assert_allclose(np.asarray(d.geo), np.asarray(h.geo),
+                                   rtol=0, atol=1e-4)
+        # raw stays host-resident: no float32 raster rides the upload
+        assert isinstance(h.raw, np.ndarray)
+    # per-frame path agrees with the batch path
+    one = build_keyframe(*items[0], host_preprocess=True)
+    np.testing.assert_array_equal(np.asarray(one.norm), np.asarray(host[0].norm))
+    np.testing.assert_array_equal(np.asarray(one.mask), np.asarray(host[0].mask))
