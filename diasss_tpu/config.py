@@ -195,6 +195,19 @@ class PoseGraphConfig:
     #   (falling back to "dense_seg" above ~1k LC factors, where the Woodbury
     #   buffers outgrow their win); "tridiag" elsewhere.
     preconditioner: str = "auto"
+    # Damping sweep for the "direct" path: each LM trial solves the exact
+    # step for EVERY lam*factor candidate in one K-wide batched factorization
+    # (vmapped cyclic reduction) and keeps the best improving one — a
+    # parallel line search in the damping dimension.  (1.0,) reproduces the
+    # classic single-lam accept(*0.3)/reject(*10) schedule and is the
+    # DEFAULT: measured on TPU v5e at the 12k bench point the K-wide vmapped
+    # CR is NOT free (K=4: 2.2 s vs 0.87 s single; K=6: 29 s — the vmapped
+    # recursion multiplies HBM traffic on the (K, P, 6, R) buffers) and the
+    # sweep does not reduce the trial count (every trial already improves
+    # the error by > the stall tolerance, so LM runs to max_gn_iters either
+    # way; final error differs by 0.3%).  Kept as an opt-in for
+    # small-P / damping-sensitive problems.
+    lam_sweep_factors: tuple = (1.0,)
     tridiag_segment: int = 256  # segment length for the segment-parallel solve
     seed: int = 0  # initial-noise PRNG seed
 

@@ -157,7 +157,19 @@ def _make_matvec(idx_i, idx_j, Ji, Jj, P, lam, D, fixed0: bool):
 
 
 def _direct_lm_step(graph, idx_i, idx_j, Ji, Jj, g, D, lam, P, L_lc):
-    """EXACT damped-LM step by direct factorization — zero CG iterations.
+    """Single-lam exact damped step; see :func:`_direct_lm_step_multi`."""
+    return _direct_lm_step_multi(
+        graph, idx_i, idx_j, Ji, Jj, g, D, jnp.reshape(lam, (1,)), P, L_lc
+    )[0]
+
+
+def _direct_lm_step_multi(graph, idx_i, idx_j, Ji, Jj, g, D, lams, P, L_lc):
+    """EXACT damped-LM steps for a (K,) vector of damping candidates — zero
+    CG iterations; returns (K, P, 6) deltas.  The linearization, the chain
+    coupling U and the Woodbury RHS block B are lam-independent and computed
+    once; only the damped chain factorization + capacitance solve are
+    vmapped over K, so a K-candidate damping sweep costs K-wide batched
+    algebra on otherwise latency-bound narrow kernels, not K serial trials.
 
     The damped Hessian decomposes as ``H + lam*blockdiag(H) = T' + V V^T``:
 
@@ -211,10 +223,18 @@ def _direct_lm_step(graph, idx_i, idx_j, Ji, Jj, g, D, lam, P, L_lc):
         jnp.einsum("fab,fac->fbc", Jj_o, Jj_o, precision=_DEFP), idx_j[: P - 1], P
     )
     D_odo = D_odo.at[0].set(eye6)
-    T_diag = D_odo + lam * D + 1e-6 * eye6
 
+    # everything above this line is lam-independent and shared by all sweep
+    # candidates; only the damped diagonal (and hence the chain factorization
+    # + Woodbury) differs per lam — vmapped below, so a K-candidate damping
+    # sweep is K-WIDE batched algebra, not K serial factorizations.
     if L_lc == 0:
-        return solve_block_tridiag(T_diag, U, -g).at[0].set(0.0)
+
+        def solve_one(lam):
+            T_diag = D_odo + lam * D + 1e-6 * eye6
+            return solve_block_tridiag(T_diag, U, -g).at[0].set(0.0)
+
+        return jax.vmap(solve_one)(lams)
 
     Ji_l = jnp.where((graph.lc_i == 0)[:, None, None], 0.0, Ji[P - 1 :])
     Jj_l = jnp.where((graph.lc_j == 0)[:, None, None], 0.0, Jj[P - 1 :])
@@ -233,22 +253,27 @@ def _direct_lm_step(graph, idx_i, idx_j, Ji, Jj, g, D, lam, P, L_lc):
     )
 
     B = jnp.concatenate([(-g)[:, :, None], V.reshape(P, 6, 6 * L_lc)], axis=2)
-    W = multi_solve(T_diag, U, B)
-    w0, Wv = W[:, :, 0], W[:, :, 1:]
 
-    # capacitance C = I + V^T T'^-1 V, assembled by gathering W at the LC poses
-    AW = jnp.einsum("lab,lbr->lar", Ji_l, Wv[graph.lc_i], precision=_DEFP) + jnp.einsum(
-        "lab,lbr->lar", Jj_l, Wv[graph.lc_j], precision=_DEFP
-    )
-    C = AW.reshape(6 * L_lc, 6 * L_lc) + jnp.eye(6 * L_lc, dtype=dtype)
-    c0 = (
-        jnp.einsum("lab,lb->la", Ji_l, w0[graph.lc_i], precision=_DEFP)
-        + jnp.einsum("lab,lb->la", Jj_l, w0[graph.lc_j], precision=_DEFP)
-    ).reshape(-1)
-    Lc = jnp.linalg.cholesky(0.5 * (C + C.T))
-    y = jax.scipy.linalg.cho_solve((Lc, True), c0)
-    delta = w0 - jnp.einsum("pbr,r->pb", Wv, y, precision=_DEFP)
-    return delta.at[0].set(0.0)
+    def solve_one(lam):
+        T_diag = D_odo + lam * D + 1e-6 * eye6
+        W = multi_solve(T_diag, U, B)
+        w0, Wv = W[:, :, 0], W[:, :, 1:]
+
+        # capacitance C = I + V^T T'^-1 V, assembled by gathering W at the LC poses
+        AW = jnp.einsum(
+            "lab,lbr->lar", Ji_l, Wv[graph.lc_i], precision=_DEFP
+        ) + jnp.einsum("lab,lbr->lar", Jj_l, Wv[graph.lc_j], precision=_DEFP)
+        C = AW.reshape(6 * L_lc, 6 * L_lc) + jnp.eye(6 * L_lc, dtype=dtype)
+        c0 = (
+            jnp.einsum("lab,lb->la", Ji_l, w0[graph.lc_i], precision=_DEFP)
+            + jnp.einsum("lab,lb->la", Jj_l, w0[graph.lc_j], precision=_DEFP)
+        ).reshape(-1)
+        Lc = jnp.linalg.cholesky(0.5 * (C + C.T))
+        y = jax.scipy.linalg.cho_solve((Lc, True), c0)
+        delta = w0 - jnp.einsum("pbr,r->pb", Wv, y, precision=_DEFP)
+        return delta.at[0].set(0.0)
+
+    return jax.vmap(solve_one)(lams)
 
 
 def _pcg(matvec, b, precond, tol, max_iters):
@@ -308,24 +333,55 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig(),
             g, D = _gradient_and_diag(idx_i, idx_j, r, Ji, Jj, P, fixed0=True)
 
             if precond_kind == "direct":
-                delta = _direct_lm_step(graph, idx_i, idx_j, Ji, Jj, g, D, lam, P, L_lc)
-                cg_k = jnp.asarray(1, jnp.int32)
-                new_poses = se3.retract(poses, delta)
-                new_poses = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(
-                        (jnp.arange(P) == 0).reshape((P,) + (1,) * (a.ndim - 1)), a, b
-                    ),
-                    poses,
-                    new_poses,
+                # damping sweep: solve the exact step for K lam candidates in
+                # ONE K-wide batched factorization and keep the best improving
+                # one — a parallel line search in the damping dimension.
+                # Default is K=1 (the classic accept *0.3 / reject *10
+                # schedule): measured at the 12k bench point the vmapped CR
+                # costs ~2.5x at K=4 (HBM traffic on the (K, P, 6, R)
+                # buffers) and the sweep does not cut the trial count — see
+                # PoseGraphConfig.lam_sweep_factors for the numbers.
+                factors = jnp.asarray(cfg.lam_sweep_factors, dtype=lam.dtype)
+                lams = jnp.clip(lam * factors, 1e-9, 1e6)
+                deltas = _direct_lm_step_multi(
+                    graph, idx_i, idx_j, Ji, Jj, g, D, lams, P, L_lc
                 )
-                new_err = graph_error(new_poses, graph)
+                cg_k = jnp.asarray(1, jnp.int32)
+
+                def apply_delta(delta):
+                    new_poses = se3.retract(poses, delta)
+                    return jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(
+                            (jnp.arange(P) == 0).reshape(
+                                (P,) + (1,) * (a.ndim - 1)
+                            ),
+                            a,
+                            b,
+                        ),
+                        poses,
+                        new_poses,
+                    )
+
+                cand_poses = jax.vmap(apply_delta)(deltas)
+                cand_errs = jax.vmap(lambda p: graph_error(p, graph))(cand_poses)
+                cand_errs = jnp.where(jnp.isfinite(cand_errs), cand_errs, jnp.inf)
+                best = jnp.argmin(cand_errs)
+                new_err = cand_errs[best]
                 good = jnp.isfinite(new_err) & (new_err < err)
                 poses = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(good, b, a), poses, new_poses
+                    lambda a, b: jnp.where(good, b[best], a), poses, cand_poses
                 )
                 err = jnp.where(good, new_err, err)
+                # accept: adopt the winning candidate's damping (the next
+                # sweep brackets around it; with a single factor this is the
+                # classic *0.3 decay); reject: escalate past the largest
+                # explored factor
+                decay = 0.3 if len(cfg.lam_sweep_factors) == 1 else 1.0
+                up = jnp.maximum(jnp.max(factors), 10.0)
                 lam = jnp.where(
-                    good, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 10.0, 1e6)
+                    good,
+                    jnp.maximum(lams[best] * decay, 1e-9),
+                    jnp.minimum(lam * up, 1e6),
                 )
                 return (poses, err, lam), (jnp.linalg.norm(g), cg_k)
 

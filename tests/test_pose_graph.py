@@ -218,3 +218,39 @@ class TestDenseSegPreconditioner:
         p_d, i_d = solve_pose_graph(g, cfg_d)
         np.testing.assert_allclose(np.asarray(p_d.t), np.asarray(p_t.t), atol=1e-3)
         assert abs(float(i_d.error) - float(i_t.error)) < 1e-2 * max(float(i_t.error), 1.0)
+
+
+class TestDampingSweep:
+    """Opt-in lam_sweep_factors K>1: each LM trial solves the exact step for
+    K damping candidates in one K-wide vmapped factorization and keeps the
+    best improving one.  Same fixed point as the default single-lam schedule
+    (kept opt-in: at bench scale the K-wide CR costs more than the serial
+    trials it saves — see PoseGraphConfig.lam_sweep_factors)."""
+
+    def test_sweep_matches_single_lam_fixed_point(self):
+        import dataclasses
+
+        g = _drifted_lc_graph()
+        cfg_1 = PoseGraphConfig(preconditioner="direct")
+        cfg_k = dataclasses.replace(cfg_1, lam_sweep_factors=(0.01, 0.1, 1.0, 10.0))
+        p_1, i_1 = solve_pose_graph(g, cfg_1)
+        p_k, i_k = solve_pose_graph(g, cfg_k)
+        np.testing.assert_allclose(np.asarray(p_k.t), np.asarray(p_1.t), atol=1e-3)
+        assert abs(float(i_k.error) - float(i_1.error)) < 1e-2 * max(float(i_1.error), 1.0)
+
+    def test_sweep_chain_only(self):
+        """L=0 branch under the sweep."""
+        rows = make_chain()
+        g = build_chain_graph([rows], **_no_lc(), noise_key=jax.random.PRNGKey(1))
+        from diasss_tpu.geometry import se3 as _se3
+
+        g0 = g._replace(
+            lc_i=jnp.zeros((0,), jnp.int32), lc_j=jnp.zeros((0,), jnp.int32),
+            lc_meas=_se3.identity((0,), jnp.float32),
+            lc_sigmas=jnp.ones((0, 6), jnp.float32),
+            lc_valid=jnp.zeros((0,), bool),
+        )
+        cfg = PoseGraphConfig(preconditioner="direct",
+                              lam_sweep_factors=(0.1, 1.0, 10.0))
+        poses, info = solve_pose_graph(g0, cfg)
+        assert float(info.error) < float(info.error0) * 1e-3
