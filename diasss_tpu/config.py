@@ -208,6 +208,14 @@ class PoseGraphConfig:
     # way; final error differs by 0.3%).  Kept as an opt-in for
     # small-P / damping-sensitive problems.
     lam_sweep_factors: tuple = (1.0,)
+    # Coarse-to-fine initialization: > 1 solves the graph restricted to every
+    # stride-th pose first (composed odometry between anchors, LC measurements
+    # conjugated to anchors, sqrt(stride)-inflated odo sigmas), prolongates
+    # the coarse estimate along the clean DR chain and starts the fine LM
+    # from there — adopted only if it measurably lowers the initial error;
+    # 0/1 = off.  Fresh batch solves only (resumed / warm-started callers
+    # skip it via allow_coarse_init=False).
+    coarse_init_stride: int = 0
     tridiag_segment: int = 256  # segment length for the segment-parallel solve
     seed: int = 0  # initial-noise PRNG seed
 

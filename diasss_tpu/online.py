@@ -402,7 +402,10 @@ class OnlineSlam:
                 graph.poses0, graph.odo_meas, bucket_capacity(p_real)
             )
             graph = graph._replace(poses0=poses0, odo_meas=odo_meas)
-        poses, info = solve_pose_graph(graph, cfg.pose_graph)
+        # the window is warm-started from the previous estimate — a coarse
+        # DR-chain init would only degrade it
+        poses, info = solve_pose_graph(graph, cfg.pose_graph,
+                                       allow_coarse_init=False)
         win = poses[:p_real]
         if cut > 0:
             st.poses = _tree_cat(st.poses[:cut], win)

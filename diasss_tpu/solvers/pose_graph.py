@@ -310,9 +310,77 @@ def _pcg(matvec, b, precond, tol, max_iters):
     return x, k
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+def _dr_chain(graph: PoseGraph) -> se3.Pose3:
+    """Absolute pose chain implied by the odometry measurements alone:
+    ``chain[p] = poses0[0] . odo[0] . ... . odo[p-1]`` — the clean
+    (noise-free) dead-reckoning trajectory.  One associative scan of pose
+    composition: log2(P) depth, batched 3x3 algebra."""
+    rel = jax.lax.associative_scan(se3.compose, graph.odo_meas)
+    P = graph.poses0.t.shape[0]
+    first = jax.tree_util.tree_map(lambda a: a[:1], graph.poses0)
+    base = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (P - 1,) + a.shape[1:]), first
+    )
+    rest = se3.compose(base, rel)
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), first, rest
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("stride",))
+def _coarse_graph_and_chain(graph: PoseGraph, stride: int):
+    """Restrict the pose graph to every ``stride``-th pose.
+
+    Coarse odometry = the composed fine odometry between consecutive
+    anchors; coarse LC (i, j) -> (i//stride, j//stride) with the
+    measurement conjugated by the clean DR offsets from each endpoint to
+    its anchor (exact if the fine solution followed DR within a segment);
+    intra-segment LCs are dropped.  Odometry sigmas grow by sqrt(stride)
+    (random-walk accumulation).
+    """
+    P = graph.poses0.t.shape[0]
+    chain = _dr_chain(graph)
+    idx_a = jnp.arange(0, P, stride)
+    coarse0 = chain[idx_a]
+    codo = se3.between(chain[idx_a[:-1]], chain[idx_a[1:]])
+    ci, cj = graph.lc_i // stride, graph.lc_j // stride
+    anchor_i, anchor_j = ci * stride, cj * stride
+    lc_adj = se3.compose(
+        se3.between(chain[anchor_i], chain[graph.lc_i]),
+        se3.compose(
+            graph.lc_meas,
+            se3.inverse(se3.between(chain[anchor_j], chain[graph.lc_j])),
+        ),
+    )
+    cgraph = PoseGraph(
+        poses0=coarse0,
+        odo_meas=codo,
+        odo_sigmas=graph.odo_sigmas * jnp.sqrt(jnp.asarray(stride, graph.odo_sigmas.dtype)),
+        lc_i=ci.astype(jnp.int32),
+        lc_j=cj.astype(jnp.int32),
+        lc_meas=lc_adj,
+        lc_sigmas=graph.lc_sigmas,
+        lc_valid=graph.lc_valid & (ci != cj),
+    )
+    return cgraph, chain
+
+
+@functools.partial(jax.jit, static_argnames=("stride",))
+def _prolongate(coarse_poses: se3.Pose3, chain: se3.Pose3, stride: int) -> se3.Pose3:
+    """Fine initial values from a coarse solution: each pose = its segment
+    anchor's coarse estimate composed with the clean DR offset to it."""
+    P = chain.t.shape[0]
+    k = jnp.arange(P) // stride
+    anchors = k * stride
+    return se3.compose(
+        jax.tree_util.tree_map(lambda a: a[k], coarse_poses),
+        se3.between(chain[anchors], chain),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "allow_coarse_init"))
 def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig(),
-                     lam0=None, stall0=None):
+                     lam0=None, stall0=None, allow_coarse_init: bool = True):
     """Batched LM on the full pose graph; returns (poses, SolveInfo).
 
     Reaches the same fixed point as the reference's repeated ``isam.update()``
@@ -500,8 +568,43 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig(),
     stall_init = (
         jnp.asarray(0, jnp.int32) if stall0 is None else jnp.asarray(stall0, jnp.int32)
     )
+
+    # coarse-to-fine initialization (opt-in, cfg.coarse_init_stride > 0):
+    # solve the graph restricted to every stride-th pose first (P/stride
+    # poses — the coarse solve costs ~1/stride of a fine trial), prolongate
+    # along the clean DR chain, and start the fine LM from there.  Fresh
+    # solves only: resumed (lam0/stall0) and warm-started callers pass
+    # allow_coarse_init=False — a checkpoint iterate or a previous estimate
+    # is already a better init than the DR chain.
+    init_poses, err_init = graph.poses0, err0
+    stride = int(getattr(cfg, "coarse_init_stride", 0) or 0)
+    if (
+        allow_coarse_init
+        and stride > 1
+        and lam0 is None
+        and stall0 is None
+        and P > 4 * stride
+    ):
+        cgraph, chain = _coarse_graph_and_chain(graph, stride)
+        import dataclasses as _dc
+
+        ccfg = _dc.replace(cfg, coarse_init_stride=0)
+        cposes, _cinfo = solve_pose_graph(cgraph, ccfg, allow_coarse_init=False)
+        cand = _prolongate(cposes, chain, stride)
+        # keep the gauge pose exactly and only adopt the coarse-informed
+        # init if it actually starts closer to the optimum
+        cand = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[:1], b[1:]], axis=0), graph.poses0, cand
+        )
+        err_cand = graph_error(cand, graph)
+        better = jnp.isfinite(err_cand) & (err_cand < err0)
+        init_poses = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(better, b, a), graph.poses0, cand
+        )
+        err_init = jnp.where(better, err_cand, err0)
+
     poses, err, lam_f, iters, stall_f, cg_total, gnorm = run_phase(
-        kind, graph.poses0, err0, lam_init, cfg.max_gn_iters, stall_init
+        kind, init_poses, err_init, lam_init, cfg.max_gn_iters, stall_init
     )
     info = SolveInfo(
         error0=err0,
