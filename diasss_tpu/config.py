@@ -245,8 +245,15 @@ class FullBAConfig:
     max_iters: int = 40
     cg_tol: float = 1e-6
     cg_max_iters: int = 250
-    # "jacobi" | "tridiag" | "dense_seg" | "auto" (dense_seg on TPU, tridiag
-    # elsewhere — see PoseGraphConfig.preconditioner)
+    # Linear-solve strategy per LM trial (see PoseGraphConfig.preconditioner
+    # for the family):
+    # * "direct" — the EXACT damped step of the Schur-reduced pose system:
+    #   multi-RHS chain factorization + Woodbury over the landmark coupling
+    #   columns (3 per correspondence), zero CG iterations
+    #   (full_ba.py:_direct_ba_step).
+    # * "jacobi" | "tridiag" | "dense_seg" — PCG preconditioners.
+    # * "auto": on TPU, "direct" up to 1024 (padded) correspondences, then
+    #   "dense_seg"; "tridiag" elsewhere.
     preconditioner: str = "auto"
     tridiag_segment: int = 256
 

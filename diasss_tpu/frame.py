@@ -31,7 +31,11 @@ class Keyframe(NamedTuple):
     """
 
     img_id: int  # host static
-    raw: jnp.ndarray  # (N, M) float32 raw waterfall intensities
+    # (N, M) float32 raw waterfall intensities.  Device-resident on the
+    # default path; with host_preprocess=True this is a host np.ndarray (no
+    # downstream device program reads it — only the optional mosaic, which
+    # uploads it lazily).
+    raw: jnp.ndarray
     norm: jnp.ndarray  # (N, M) uint8 normalized image
     mask: jnp.ndarray  # (N, M) bool keypoint-validity mask
     geo: jnp.ndarray  # (N, M, 2) world (x, y) per pixel
@@ -131,7 +135,7 @@ def build_keyframe(
         packed = np.packbits(_filtered_mask_np(raw_np, mask_cfg).reshape(1, -1), axis=1)
         mask = _unpack_mask(jnp.asarray(packed), n, m)[0]
         geo = _geo_batch(poses_j[None], grs_j[None], m)[0]
-        raw_j = np.asarray(raw, np.float32)  # host-resident
+        raw_j = np.asarray(raw, np.float32)  # host-resident (see Keyframe.raw)
     else:
         raw_j = jnp.asarray(raw, dtype)
         # one jitted program for the whole preprocess (op-by-op dispatch costs a
@@ -183,20 +187,39 @@ def _normalize_sss_np(raws: np.ndarray, cfg: NormalizeConfig) -> np.ndarray:
     return np.round(out).astype(np.uint8)
 
 
-def _filtered_mask_np(raws: np.ndarray, cfg: MaskConfig) -> np.ndarray:
-    """Host (numpy/scipy) mirror of :func:`filtered_mask` over (F, N, M):
-    the box-OR dilation is a maximum filter with zero-padding, identical to
-    the device ``reduce_window(..., bitwise_or, padding="SAME")``."""
-    from scipy.ndimage import maximum_filter
+def _box_or_np(bits: np.ndarray, r: int) -> np.ndarray:
+    """(F, N, M) binary box-OR dilation with zero padding — pure numpy.
 
+    Integral-image window sum > 0 over a (2r+1, 2r+1) box: bit-identical to a
+    binary maximum filter / the device ``reduce_window(..., bitwise_or,
+    padding="SAME")``, with no scipy dependency (the package declares only
+    jax + numpy; host_preprocess is the default CLI path)."""
+    f, n, m = bits.shape
+    S = np.zeros((f, n + 1, m + 1), np.int32)
+    np.cumsum(bits, axis=1, out=S[:, 1:, 1:])
+    np.cumsum(S[:, 1:, 1:], axis=2, out=S[:, 1:, 1:])
+    i = np.arange(n)
+    j = np.arange(m)
+    lo_i, hi_i = np.maximum(i - r, 0), np.minimum(i + r + 1, n)
+    lo_j, hi_j = np.maximum(j - r, 0), np.minimum(j + r + 1, m)
+    win = (
+        S[:, hi_i[:, None], hi_j[None, :]]
+        - S[:, lo_i[:, None], hi_j[None, :]]
+        - S[:, hi_i[:, None], lo_j[None, :]]
+        + S[:, lo_i[:, None], lo_j[None, :]]
+    )
+    return win > 0
+
+
+def _filtered_mask_np(raws: np.ndarray, cfg: MaskConfig) -> np.ndarray:
+    """Host (pure numpy) mirror of :func:`filtered_mask` over (F, N, M):
+    the box-OR dilation is an integral-image window sum > 0, identical to
+    the device ``reduce_window(..., bitwise_or, padding="SAME")``."""
     raws = raws.astype(np.float32)
     f, n, m = raws.shape
     mean = raws.reshape(f, -1).mean(axis=1, dtype=np.float32)[:, None, None]
     bright = (raws > mean * cfg.bright_factor).astype(np.uint8)
-    r = cfg.bright_radius
-    dilated = maximum_filter(
-        bright, size=(1, 2 * r + 1, 2 * r + 1), mode="constant", cval=0
-    ).astype(bool)
+    dilated = _box_or_np(bright, cfg.bright_radius)
     rows = np.arange(n)[:, None]
     cols = np.arange(m)[None, :]
     center = (cols > m // 2 - cfg.center_width) & (cols < m // 2 + cfg.center_width)
@@ -299,7 +322,7 @@ def build_keyframes_batch(
         norms = jnp.asarray(norms_np)
         masks = _unpack_mask(jnp.asarray(packed), n, m)
         geos = _geo_batch(poses, grs, m)
-        raws = raws_np.astype(np.float32)  # stays on host; mosaic uploads lazily
+        raws = raws_np.astype(np.float32, copy=False)  # host-resident (see Keyframe.raw)
     else:
         raws = jnp.asarray(raws_np, dtype)
         norms, masks, geos = _preprocess_batch(raws, poses, grs, norm_cfg, mask_cfg)

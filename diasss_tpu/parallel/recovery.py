@@ -45,7 +45,18 @@ from .shard import make_mesh
 # the participating devices — so immediately re-probing the same set would
 # stack another hung collective on them every chunk.  Exponential backoff
 # bounds the number of concurrently-wedged probe threads to O(log(chunks)).
+# Keys are STABLE device identities (platform, process_index, id), not
+# ``id(device)`` — CPython object ids are reused after GC, so a long-lived
+# process could otherwise inherit a stale backoff for a fresh device list.
 _hang_backoff: dict = {}
+_HANG_BACKOFF_CAP = 64  # prune oldest entries beyond this (insertion order)
+
+
+def _device_set_key(devices: list) -> tuple:
+    return tuple(
+        (getattr(d, "platform", ""), getattr(d, "process_index", 0), d.id)
+        for d in devices
+    )
 
 
 def heartbeat_probe(chunk_idx: int, devices: list, retries: int = 1,
@@ -77,7 +88,7 @@ def heartbeat_probe(chunk_idx: int, devices: list, retries: int = 1,
 
     from .distributed import heartbeat
 
-    key = tuple(id(d) for d in devices)
+    key = _device_set_key(devices)
     left = _hang_backoff.get(key)
     if left is not None and left.get("skip", 0) > 0:
         left["skip"] -= 1
@@ -116,8 +127,11 @@ def heartbeat_probe(chunk_idx: int, devices: list, retries: int = 1,
     if hung:
         prev = _hang_backoff.get(key, {"period": 1})
         period = min(prev.get("period", 1) * 2, 64)
+        _hang_backoff.pop(key, None)  # re-insert -> newest in insertion order
         _hang_backoff[key] = {"skip": period - 1, "period": period,
                               "fallback": local}
+        while len(_hang_backoff) > _HANG_BACKOFF_CAP:
+            _hang_backoff.pop(next(iter(_hang_backoff)))
     return local
 
 

@@ -39,6 +39,7 @@ from ..factors.sss_point import kp_noise_sigmas, sss_point_residual
 from ..geometry import se3
 
 _HI = jax.lax.Precision.HIGHEST
+_DEFP = jax.lax.Precision.DEFAULT  # see _direct_ba_step docstring
 
 
 class BAProblem(NamedTuple):
@@ -156,6 +157,124 @@ def _ba_error_from_residuals(r_odo, r_s, r_t, r_pr, huber_delta: float) -> jnp.n
     return 0.5 * (jnp.sum(r_odo**2) + jnp.sum(r_pr**2)) + rob
 
 
+def _direct_ba_step(prob, g_red, U_chain, D_p, L_ll, Hpl_s, Hpl_t, lam, P, K):
+    """EXACT damped step of the Schur-reduced pose system — zero CG iterations.
+
+    The reduced system decomposes as ``S = T' - V V^T``:
+
+    * ``T'`` = odometry-chain block-tridiagonal + per-pose sonar-factor
+      diagonal + LM damping ``lam * blockdiag`` — i.e. tridiag(diag =
+      (1+lam) * D_p, offdiag = U_chain), solved exactly by the multi-RHS
+      chain factorization (:mod:`.tridiag`);
+    * ``V`` = the Schur coupling columns: landmark k's damped 3x3 Hessian
+      ``H_ll,k = L_k L_k^T`` couples its two endpoint poses through
+      ``Hpl H_ll^-1 H_lp = (Hpl L^-T)(Hpl L^-T)^T`` — a rank-<=3 SUBTRACTED
+      correction per correspondence, so V has 3K columns with two nonzero
+      6-row blocks each (at kp_i[k] and kp_j[k]).
+
+    Woodbury with the subtracted sign:
+    ``S^-1 b = w0 + Wv (I - V^T T'^-1 V)^-1 V^T w0`` where
+    ``[w0 | Wv] = T'^-1 [b | V]`` — one chain factorization with 3K+1 RHS
+    plus one dense (3K, 3K) Cholesky replace the hundreds-to-thousands of
+    serial PCG iterations per LM trial (the capacitance ``I - V^T T'^-1 V``
+    is SPD exactly when the damped Schur system is — guaranteed here).
+
+    This mirrors :func:`.pose_graph._direct_lm_step_multi` (V there = LC
+    factor columns); same gauge handling (pose-0-touching blocks zeroed, row
+    0 decoupled, ``delta[0] == 0``) and same precision choice: DEFAULT matmul
+    precision, not _HI — XLA's HIGHEST lowering of tiny batched contractions
+    defeats vectorization (measured 12.5x on the pose-graph step, PERF.md
+    round 3); the LM accept gate re-evaluates the TRUE error after every
+    step, so a slightly inexact direct step costs at most an extra trial.
+
+    Reference anchor: the per-ping iSAM2 solve this replaces at the flagship
+    estimator, /root/reference/src/core/optimizer.cpp:264-268.
+    """
+    from .tridiag import solve_block_tridiag_multi, thomas_block_tridiag_multi
+
+    multi_solve = (
+        solve_block_tridiag_multi
+        if jax.default_backend() == "tpu"
+        else thomas_block_tridiag_multi
+    )
+    dtype = D_p.dtype
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    # gauge: pose-0-touching Schur couplings vanish (the PCG matvec zeroes
+    # v[0] and overwrites out[0], which is the same operator)
+    Hpl_s0 = jnp.where((prob.kp_i == 0)[:, None, None], 0.0, Hpl_s)
+    Hpl_t0 = jnp.where((prob.kp_j == 0)[:, None, None], 0.0, Hpl_t)
+    # Vhat = Hpl L_ll^-T  (K, 6, 3): batched 3x3 triangular solves
+    Vhat_s = jax.scipy.linalg.solve_triangular(
+        L_ll, Hpl_s0.swapaxes(-1, -2), lower=True
+    ).swapaxes(-1, -2)
+    Vhat_t = jax.scipy.linalg.solve_triangular(
+        L_ll, Hpl_t0.swapaxes(-1, -2), lower=True
+    ).swapaxes(-1, -2)
+
+    # V: (P, 6, K, 3) via one-hot broadcast-multiply, NOT scatter-add (a
+    # traced-index scatter lowers to a serial per-row loop on TPU — the same
+    # finding as pose_graph._direct_lm_step_multi's V construction)
+    onehot_i = (prob.kp_i[:, None] == jnp.arange(P)[None, :]).astype(dtype)
+    onehot_j = (prob.kp_j[:, None] == jnp.arange(P)[None, :]).astype(dtype)
+    V = jnp.einsum("kp,kba->pbka", onehot_i, Vhat_s, precision=_DEFP) + jnp.einsum(
+        "kp,kba->pbka", onehot_j, Vhat_t, precision=_DEFP
+    )
+
+    T_diag = ((1.0 + lam) * D_p + 1e-6 * eye6).at[0].set(eye6)
+    U = U_chain.at[0].set(0.0)
+
+    B = jnp.concatenate([(-g_red)[:, :, None], V.reshape(P, 6, 3 * K)], axis=2)
+    W = multi_solve(T_diag, U, B)
+    w0, Wv = W[:, :, 0], W[:, :, 1:]
+
+    # capacitance C = I - V^T T'^-1 V, assembled by gathering W at the
+    # factor endpoints (each V column group reads two pose blocks)
+    AW = jnp.einsum(
+        "kba,kbr->kar", Vhat_s, Wv[prob.kp_i], precision=_DEFP
+    ) + jnp.einsum("kba,kbr->kar", Vhat_t, Wv[prob.kp_j], precision=_DEFP)
+    C = jnp.eye(3 * K, dtype=dtype) - AW.reshape(3 * K, 3 * K)
+    c0 = (
+        jnp.einsum("kba,kb->ka", Vhat_s, w0[prob.kp_i], precision=_DEFP)
+        + jnp.einsum("kba,kb->ka", Vhat_t, w0[prob.kp_j], precision=_DEFP)
+    ).reshape(-1)
+    Lc = jnp.linalg.cholesky(0.5 * (C + C.T))
+    y = jax.scipy.linalg.cho_solve((Lc, True), c0)
+    delta = w0 + jnp.einsum("pbr,r->pb", Wv, y, precision=_DEFP)
+    return delta.at[0].set(0.0)
+
+
+def _finish_trial(poses, lms, err, lam, delta_p, cg_k,
+                  Jp_s, Jp_t, Jl_s, Jl_t, g_l, ll_solve, prob, kp_cfg, cfg, P):
+    """Shared trial tail: landmark back-substitution, retract, LM accept gate.
+    ``delta_p`` comes from either the PCG or the direct Woodbury step."""
+    delta_p = delta_p.at[0].set(0.0)
+
+    hv = jnp.einsum("kab,kb->ka", Jp_s, delta_p[prob.kp_i], precision=_HI)
+    ht = jnp.einsum("kab,kb->ka", Jp_t, delta_p[prob.kp_j], precision=_HI)
+    w2 = jnp.einsum("kab,ka->kb", Jl_s, hv, precision=_HI) + jnp.einsum(
+        "kab,ka->kb", Jl_t, ht, precision=_HI
+    )
+    delta_l = ll_solve(-g_l - w2)
+
+    new_poses = se3.retract(poses, delta_p)
+    new_poses = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(
+            (jnp.arange(P) == 0).reshape((P,) + (1,) * (a.ndim - 1)), a, b
+        ),
+        poses,
+        new_poses,
+    )
+    new_lms = lms + delta_l
+    new_err = _ba_error(new_poses, new_lms, prob, kp_cfg, cfg.huber_delta)
+    good = jnp.isfinite(new_err) & (new_err < err)
+    poses = jax.tree_util.tree_map(lambda a, b: jnp.where(good, b, a), poses, new_poses)
+    lms = jnp.where(good, new_lms, lms)
+    err = jnp.where(good, new_err, err)
+    lam = jnp.where(good, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 10.0, 1e6))
+    return poses, lms, err, lam, cg_k
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "kp_cfg"))
 def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg, lam0=None,
                   stall0=None):
@@ -166,6 +285,25 @@ def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg, lam0=None,
     dtype = prob.poses0.t.dtype
     err0 = _ba_error(prob.poses0, prob.lm0, prob, kp_cfg, cfg.huber_delta)
     w_kp = prob.kp_valid.astype(dtype)
+
+    K_pad = int(prob.kp_i.shape[0])
+    precond_kind = cfg.preconditioner
+    if precond_kind == "auto":
+        # trace-time platform choice (see FullBAConfig.preconditioner).
+        # TPU: the exact direct Woodbury chain step (zero CG iterations)
+        # wins outright while the capacitance stays modest — the Woodbury
+        # width is 3 per landmark (vs 6 per LC factor in the pose graph),
+        # so the guard admits up to 1024 (padded) correspondences; the
+        # multi-RHS chain buffers (P, 6, 3K+1) are additionally bounded.
+        # Beyond that the PCG path's memory profile is safer ("direct"
+        # explicitly overrides).  CPU keeps tridiag PCG (same rationale as
+        # PoseGraphConfig: the Thomas multi-RHS scan with thousands of
+        # columns is not obviously cheaper than PCG there).
+        if jax.default_backend() == "tpu":
+            mem_ok = P * 6 * (3 * K_pad + 1) * 4 * 3 < 4e9
+            precond_kind = "direct" if (K_pad <= 1024 and mem_ok) else "dense_seg"
+        else:
+            precond_kind = "tridiag"
 
     sig_s = jax.vmap(lambda sr: kp_noise_sigmas(sr, kp_cfg.sigma_r, kp_cfg.alpha_bw_deg))(prob.kp_sr_s)
     sig_t = jax.vmap(lambda sr: kp_noise_sigmas(sr, kp_cfg.sigma_r, kp_cfg.alpha_bw_deg))(prob.kp_sr_t)
@@ -288,9 +426,19 @@ def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg, lam0=None,
         )
         g_red = fix0_vec(g_red)
 
-        # --- Schur matvec ---
         U_chain = jnp.einsum("kab,kac->kbc", Ja, Jb, precision=_HI)  # (P-1, 6, 6)
 
+        if precond_kind == "direct":
+            delta_p = _direct_ba_step(
+                prob, g_red, U_chain, D_p, L_ll, Hpl_s, Hpl_t, lam, P, K_pad
+            )
+            cg_k = jnp.asarray(0, jnp.int32)
+            return _finish_trial(
+                poses, lms, err, lam, delta_p, cg_k,
+                Jp_s, Jp_t, Jl_s, Jl_t, g_l, ll_solve, prob, kp_cfg, cfg, P,
+            )
+
+        # --- Schur matvec ---
         def matvec(v):
             v = fix0_vec(v)
             # chain part
@@ -345,16 +493,11 @@ def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg, lam0=None,
         # correction overshoots numerically
         Dp_damped = Dp_damped + 1e-5 * jnp.eye(6, dtype=dtype)
 
-        precond_kind = cfg.preconditioner
-        if precond_kind == "auto":
-            # full BA's Schur system is hard enough that block-Jacobi hits the
-            # CG cap and stalls the LM at a worse optimum (measured: ATE 1.98
-            # vs 1.44 on TPU, round 1) — the chain preconditioner wins on BOTH
-            # backends.  On TPU it runs in its MXU form: dense per-segment
-            # inverses computed once per trial, applications are one wide
-            # batched GEMM (tridiag.dense_segment_inverses) instead of
-            # log2(segment) levels of narrow 6x6 kernels.
-            precond_kind = "dense_seg" if jax.default_backend() == "tpu" else "tridiag"
+        # (PCG family note: full BA's Schur system is hard enough that
+        # block-Jacobi hits the CG cap and stalls the LM at a worse optimum —
+        # measured ATE 1.98 vs 1.44 on TPU, round 1 — so the chain
+        # preconditioner is the PCG choice on both backends; on TPU in its
+        # MXU dense_seg form.)
         seg = cfg.tridiag_segment if jax.default_backend() != "tpu" else min(cfg.tridiag_segment, 64)
         if precond_kind == "dense_seg":
             from .tridiag import (
@@ -406,34 +549,10 @@ def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg, lam0=None,
         from .pose_graph import _pcg
 
         delta_p, cg_k = _pcg(matvec, -g_red, precond, cfg.cg_tol, cfg.cg_max_iters)
-        delta_p = fix0_vec(delta_p)
-
-        # --- landmark back-substitution ---
-        hv = jnp.einsum(
-            "kab,kb->ka", Jp_s, delta_p[prob.kp_i], precision=_HI
+        return _finish_trial(
+            poses, lms, err, lam, delta_p, cg_k,
+            Jp_s, Jp_t, Jl_s, Jl_t, g_l, ll_solve, prob, kp_cfg, cfg, P,
         )
-        ht = jnp.einsum("kab,kb->ka", Jp_t, delta_p[prob.kp_j], precision=_HI)
-        w2 = jnp.einsum("kab,ka->kb", Jl_s, hv, precision=_HI) + jnp.einsum(
-            "kab,ka->kb", Jl_t, ht, precision=_HI
-        )
-        delta_l = ll_solve(-g_l - w2)
-
-        new_poses = se3.retract(poses, delta_p)
-        new_poses = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(
-                (jnp.arange(P) == 0).reshape((P,) + (1,) * (a.ndim - 1)), a, b
-            ),
-            poses,
-            new_poses,
-        )
-        new_lms = lms + delta_l
-        new_err = _ba_error(new_poses, new_lms, prob, kp_cfg, cfg.huber_delta)
-        good = jnp.isfinite(new_err) & (new_err < err)
-        poses = jax.tree_util.tree_map(lambda a, b: jnp.where(good, b, a), poses, new_poses)
-        lms = jnp.where(good, new_lms, lms)
-        err = jnp.where(good, new_err, err)
-        lam = jnp.where(good, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 10.0, 1e6))
-        return poses, lms, err, lam, cg_k
 
     def w_cond(state):
         _, _, _, _, k, stall, _ = state

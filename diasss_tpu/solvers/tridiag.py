@@ -203,6 +203,98 @@ def thomas_block_tridiag_multi(D: jnp.ndarray, U: jnp.ndarray, B: jnp.ndarray) -
     return jnp.concatenate([xs, xP[None]])
 
 
+def spike_block_tridiag_multi(
+    D_loc: jnp.ndarray,
+    U_loc: jnp.ndarray,
+    U_bd: jnp.ndarray,
+    B_rhs: jnp.ndarray,
+    axis: str,
+    n: int,
+) -> jnp.ndarray:
+    """Distributed EXACT multi-RHS block-tridiagonal solve (SPIKE partitioning).
+
+    Must be called INSIDE a ``shard_map`` over mesh axis ``axis`` (``n``
+    devices).  The global chain is block-partitioned: this device owns
+
+    * ``D_loc`` (B, 6, 6) — its diagonal blocks,
+    * ``U_loc`` (B-1, 6, 6) — couplings between ITS consecutive rows,
+    * ``U_bd`` (6, 6) — the coupling of its LAST row to the NEXT device's
+      first row (MUST be zero on the last device / across invalid factors),
+    * ``B_rhs`` (B, 6, R) — its rows of the right-hand sides.
+
+    Algorithm (the classic SPIKE factorization, TPU-shaped):
+
+    1. ONE local multi-RHS chain factorization (cyclic reduction on TPU,
+       Thomas scan elsewhere — same choice as the single-device direct
+       solvers) applied to ``[B_rhs | e_last U_bd | e_first U_prev^T]`` —
+       the 12 extra "spike" columns cost two more RHS-group GEMMs per level;
+    2. an ``all_gather`` of ONLY the first/last rows of the local solutions
+       and spikes — O(n * R) floats, the solve's entire communication;
+    3. every device assembles and solves the same dense (12n, 12n) reduced
+       boundary system (replicated, tiny — 96x96 at n=8);
+    4. local back-substitution ``x = w - F y_next - G y_prev``.
+
+    Exact (no segment-cut approximation): equivalence with the single-device
+    :func:`solve_block_tridiag_multi` is pinned by tests/test_tridiag.py.
+    This is what makes the direct Woodbury LM step distributable — the chain
+    factorization was the only O(P)-serial piece (SURVEY §5 long-context row).
+    """
+    from jax import lax
+
+    B = D_loc.shape[0]
+    if B < 2:
+        raise ValueError("SPIKE partitioning needs >= 2 rows per device")
+    R = B_rhs.shape[2]
+    dtype = D_loc.dtype
+
+    multi_solve = (
+        solve_block_tridiag_multi
+        if jax.default_backend() == "tpu"
+        else thomas_block_tridiag_multi
+    )
+
+    # left coupling: the PREVIOUS device's boundary block (cyclic ppermute is
+    # safe — device n-1's U_bd is zero by contract, so device 0's G vanishes)
+    U_prev = lax.ppermute(U_bd, axis, [(i, (i + 1) % n) for i in range(n)])
+
+    cols = jnp.zeros((B, 6, 12), dtype)
+    cols = cols.at[B - 1, :, :6].set(U_bd)  # right-spike source
+    cols = cols.at[0, :, 6:].set(U_prev.T)  # left-spike source
+    W = multi_solve(D_loc, U_loc, jnp.concatenate([B_rhs, cols], axis=2))
+    w, F, G = W[:, :, :R], W[:, :, R : R + 6], W[:, :, R + 6 :]
+
+    # boundary exchange: first/last rows of w (6, R) and spikes (6, 6)
+    spikes = jnp.stack([F[0], F[B - 1], G[0], G[B - 1]])  # (4, 6, 6)
+    Fg = lax.all_gather(spikes, axis)  # (n, 4, 6, 6), replicated
+    wg = lax.all_gather(jnp.stack([w[0], w[B - 1]]), axis)  # (n, 2, 6, R)
+
+    # reduced system M y = wr over the boundary unknowns
+    # y = [x_0[0], x_0[B-1], x_1[0], x_1[B-1], ...]:
+    #   x_d[0]   + F_d[0]   x_{d+1}[0] + G_d[0]   x_{d-1}[B-1] = w_d[0]
+    #   x_d[B-1] + F_d[B-1] x_{d+1}[0] + G_d[B-1] x_{d-1}[B-1] = w_d[B-1]
+    M = jnp.zeros((n, 2, 6, n, 2, 6), dtype)
+    ii = jnp.arange(n)
+    ee = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (n, 2, 6, 6))
+    M = M.at[ii[:, None], jnp.arange(2)[None, :], :, ii[:, None], jnp.arange(2)[None, :], :].set(ee)
+    for d in range(n):  # n is static and small; unrolled at trace time
+        if d + 1 < n:
+            M = M.at[d, 0, :, d + 1, 0, :].add(Fg[d, 0])
+            M = M.at[d, 1, :, d + 1, 0, :].add(Fg[d, 1])
+        if d - 1 >= 0:
+            M = M.at[d, 0, :, d - 1, 1, :].add(Fg[d, 2])
+            M = M.at[d, 1, :, d - 1, 1, :].add(Fg[d, 3])
+    m = 12 * n
+    y = jnp.linalg.solve(M.reshape(m, m), wg.reshape(m, R))  # replicated
+    yb = y.reshape(n, 2, 6, R)
+
+    d_idx = lax.axis_index(axis)
+    y_next = jnp.where(d_idx + 1 < n, 1.0, 0.0) * yb[jnp.minimum(d_idx + 1, n - 1), 0]
+    y_prev = jnp.where(d_idx - 1 >= 0, 1.0, 0.0) * yb[jnp.maximum(d_idx - 1, 0), 1]
+    x = w - jnp.einsum("bac,cr->bar", F, y_next, precision=_HI)
+    x = x - jnp.einsum("bac,cr->bar", G, y_prev, precision=_HI)
+    return x
+
+
 def solve_block_tridiag_segmented(
     D: jnp.ndarray, U: jnp.ndarray, b: jnp.ndarray, segment: int = 256
 ) -> jnp.ndarray:

@@ -345,16 +345,22 @@ def _tangent_resid_ba(prob, kp_cfg):
 
 
 class TestFullBAVsScipy:
-    def test_same_fixed_point(self):
+    @pytest.mark.parametrize("precond", ["auto", "direct"])
+    def test_same_fixed_point(self, precond):
         """solve_full_ba and scipy TRF agree on the joint pose+landmark optimum,
-        and both improve on DR identically."""
+        and both improve on DR identically.  Covers both the PCG path ("auto")
+        and the exact direct Woodbury step of the Schur-reduced system
+        ("direct", full_ba.py:_direct_ba_step) — same fixed point, zero CG."""
         from diasss_tpu.config import FullBAConfig
         from diasss_tpu.solvers.full_ba import _ba_error, solve_full_ba
 
         prob, gt, lms_gt = _make_ba_problem()
         kp_cfg = KeypointNoiseConfig()
-        cfg = FullBAConfig(huber_delta=0.0, max_iters=60)
+        cfg = FullBAConfig(huber_delta=0.0, max_iters=60, preconditioner=precond)
         poses_ours, lms_ours, info = solve_full_ba(prob, cfg, kp_cfg)
+        if precond == "direct":
+            # the direct path runs zero CG iterations by construction
+            assert int(info.cg_iters_total) == 0
         cost_ours = float(info.error)
 
         resid, jac, P, K = _tangent_resid_ba(prob, kp_cfg)

@@ -53,6 +53,49 @@ class TestFullBA:
         assert r.solve_error < r.solve_error0 * 1e-2
 
 
+class TestDirectStep:
+    def test_direct_matches_pcg_fixed_point(self, tie_survey):
+        """The exact direct Woodbury step of the Schur-reduced system
+        ("direct") reaches the same fixed point as the PCG path at pipeline
+        scale with Huber ON (the realistic config) — on a real crossing-line
+        survey with a few hundred correspondences, not just the tiny scipy
+        cross-validation problem."""
+        import jax.numpy as jnp
+
+        from diasss_tpu.config import KeypointNoiseConfig
+        from diasss_tpu.solvers.full_ba import build_ba_problem, solve_full_ba
+        from diasss_tpu.pipeline import _assemble_pairs, _overlap_pairs
+
+        frames = [
+            build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes,
+                           l.ground_ranges, l.annos)
+            for l in tie_survey.lines
+        ]
+        cfg = dataclasses.replace(PipelineConfig(), min_overlap=0.1)
+        pair_ids = _overlap_pairs(frames, cfg.min_overlap)
+        kps_pairs, _cap = _assemble_pairs(frames, None, pair_ids, cfg, use_anno=True)
+        prob = build_ba_problem(frames, kps_pairs, pair_ids, cfg.full_ba,
+                                cfg.pose_graph)
+        kp_cfg = KeypointNoiseConfig()
+
+        res = {}
+        for kind in ["tridiag", "direct"]:
+            ba_cfg = dataclasses.replace(cfg.full_ba, preconditioner=kind)
+            poses, lms, info = solve_full_ba(prob, ba_cfg, kp_cfg)
+            res[kind] = (poses, lms, info)
+            if kind == "direct":
+                assert int(info.cg_iters_total) == 0
+
+        e_pcg = float(res["tridiag"][2].error)
+        e_dir = float(res["direct"][2].error)
+        assert e_dir <= e_pcg * 1.02 + 1e-6, (e_dir, e_pcg)
+        assert e_pcg <= e_dir * 1.02 + 1e-6, (e_dir, e_pcg)
+        np.testing.assert_allclose(
+            np.asarray(res["direct"][0].t), np.asarray(res["tridiag"][0].t),
+            atol=5e-2,
+        )
+
+
 class TestPoseVariances:
     @pytest.mark.slow
     def test_variances_sane_and_grow_with_distance(self, tie_survey):

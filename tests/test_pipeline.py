@@ -210,7 +210,12 @@ def test_host_preprocess_matches_device():
         )
         assert diff.max() <= 1
         assert (diff > 0).mean() < 1e-3
-        np.testing.assert_array_equal(np.asarray(d.mask), np.asarray(h.mask))
+        # bright = raw > mean*factor depends on a frame-wide float32 mean whose
+        # reduction order differs between numpy and XLA: a threshold-straddling
+        # pixel can flip, dilating into a (2r+1)^2 box of differing mask pixels.
+        # Allow that vanishing fraction instead of pinning exact equality.
+        mdiff = np.asarray(d.mask) != np.asarray(h.mask)
+        assert mdiff.mean() < 1e-3
         np.testing.assert_allclose(np.asarray(d.geo), np.asarray(h.geo),
                                    rtol=0, atol=1e-4)
         # raw stays host-resident: no float32 raster rides the upload
