@@ -70,6 +70,7 @@ from ..factors.between import between_residual
 from ..factors.sss_point import kp_noise_sigmas
 
 _HI = lax.Precision.HIGHEST
+_DEFP = lax.Precision.DEFAULT  # the direct step's einsums (see pose_graph._direct_lm_step_multi)
 
 
 def _tree_concat(a, b):
@@ -214,6 +215,92 @@ def _seq_pg_run(poses0, odo_meas, lc_i, lc_j, lc_meas, lc_sigmas, lc_valid,
 
         err0 = error(poses0_blk)
 
+        # trace-time linear-solve choice (mirrors solve_pose_graph's "auto"):
+        # on TPU the EXACT direct step — now distributable via the SPIKE
+        # chain factorization (tridiag.spike_block_tridiag_multi) — replaces
+        # PCG outright under the same guards as the single-device solver
+        # (the per-device multi-RHS buffers are (B, 6, 6L+1), n-fold smaller).
+        precond_kind = cfg.preconditioner
+        if precond_kind == "auto":
+            if jax.default_backend() == "tpu":
+                mem_ok = B * 6 * (6 * L + 1) * 4 * 3 < 4e9
+                precond_kind = (
+                    "direct" if (L <= 1024 and mem_ok and B >= 2) else "dense_seg"
+                )
+            else:
+                precond_kind = "tridiag"
+        if precond_kind == "direct" and B < 2:
+            precond_kind = "tridiag"  # SPIKE needs >= 2 rows per device
+
+        def direct_step(g_blk, D, D_chain, Ji, Jj, Jli, Jlj, lam):
+            """EXACT damped LM step, distributed: the chain factorization is
+            the SPIKE solve (one local multi-RHS factorization + an O(n*R)
+            boundary exchange); the Woodbury correction over the (replicated,
+            L-sized) loop-closure columns is assembled with the same masked
+            gather/psum as the LC residuals.  Same math as
+            solvers.pose_graph._direct_lm_step_multi, same gauge handling.
+            """
+            from ..solvers.tridiag import spike_block_tridiag_multi
+
+            # chain couplings: row k couples local k -> k+1 (k = B-1 crosses
+            # the boundary).  Invalid factors are already zero (Ji/Jj masked);
+            # zero around fixed rows (gauge + padding)
+            U_all = jnp.einsum("kab,kac->kbc", Ji, Jj, precision=_DEFP)
+            # row k+1 of the boundary factor (k = B-1) lives on the NEXT
+            # device: its first row is fixed iff it is padding (or the cyclic
+            # wrap on the last device — whose boundary factor is invalid
+            # anyway).  Using the local wrap fix_rows[0] here would wrongly
+            # zero device 0's boundary coupling (its row 0 is the gauge).
+            next_first_fixed = ((d + 1) * B >= P_real) | (d == n - 1)
+            cz = fix_rows | jnp.concatenate(
+                [fix_rows[1:], jnp.reshape(next_first_fixed, (1,))]
+            )
+            U_all = jnp.where(cz[:, None, None], 0.0, U_all)
+
+            # gauge: LC Jacobian blocks touching global pose 0 vanish
+            Jli0 = jnp.where((lc_i == 0)[:, None, None], 0.0, Jli)
+            Jlj0 = jnp.where((lc_j == 0)[:, None, None], 0.0, Jlj)
+
+            # V rows this device owns: (B, 6, 6L) one-hot broadcast-multiply
+            # (NOT scatter-add — same TPU lowering finding as the
+            # single-device construction)
+            loc = jnp.arange(B)
+            oh_i = ((lc_owner_i == d)[:, None] & (lc_loc_i[:, None] == loc)).astype(dtype)
+            oh_j = ((lc_owner_j == d)[:, None] & (lc_loc_j[:, None] == loc)).astype(dtype)
+            V = jnp.einsum(
+                "lb,lca->bcla", oh_i, jnp.swapaxes(Jli0, -1, -2), precision=_DEFP
+            ) + jnp.einsum(
+                "lb,lca->bcla", oh_j, jnp.swapaxes(Jlj0, -1, -2), precision=_DEFP
+            )
+            V = V.reshape(B, 6, 6 * L)
+
+            T_diag = D_chain + lam * D + 1e-6 * jnp.eye(6, dtype=dtype)
+            T_diag = jnp.where(fix_rows[:, None, None], eyeB, T_diag)
+
+            B_rhs = jnp.concatenate([(-g_blk)[:, :, None], V], axis=2)
+            W = spike_block_tridiag_multi(
+                T_diag, U_all[: B - 1], U_all[B - 1], B_rhs, axis, n
+            )
+            w0, Wv = W[:, :, 0], W[:, :, 1:]
+
+            # capacitance C = I + V^T T'^-1 V (replicated after the gathers)
+            Wv_i = gather_lc(Wv, lc_owner_i, lc_loc_i)  # (L, 6, 6L)
+            Wv_j = gather_lc(Wv, lc_owner_j, lc_loc_j)
+            w0_i = gather_lc(w0, lc_owner_i, lc_loc_i)  # (L, 6)
+            w0_j = gather_lc(w0, lc_owner_j, lc_loc_j)
+            AW = jnp.einsum("lab,lbr->lar", Jli0, Wv_i, precision=_DEFP) + jnp.einsum(
+                "lab,lbr->lar", Jlj0, Wv_j, precision=_DEFP
+            )
+            C = AW.reshape(6 * L, 6 * L) + jnp.eye(6 * L, dtype=dtype)
+            c0 = (
+                jnp.einsum("lab,lb->la", Jli0, w0_i, precision=_DEFP)
+                + jnp.einsum("lab,lb->la", Jlj0, w0_j, precision=_DEFP)
+            ).reshape(-1)
+            Lc = jnp.linalg.cholesky(0.5 * (C + C.T))
+            y = jax.scipy.linalg.cho_solve((Lc, True), c0)
+            delta = w0 - jnp.einsum("bar,r->ba", Wv, y, precision=_DEFP)
+            return fix_vec(delta)
+
         def trial(carry, _):
             poses_blk, err, lam = carry
 
@@ -249,26 +336,48 @@ def _seq_pg_run(poses0, odo_meas, lc_i, lc_j, lc_meas, lc_sigmas, lc_valid,
             )
             g_blk = fix_vec(g_blk)
 
-            # --- block-diagonal of H ---
+            # --- block-diagonal of H (chain part kept separate: the direct
+            # step's T' needs it undamped) ---
             Di = jnp.einsum("kab,kac->kbc", Ji, Ji, precision=_HI)
             Dj = jnp.einsum("kab,kac->kbc", Jj, Jj, precision=_HI)
-            D = Di.at[1:].add(Dj[:-1])
-            D = D.at[0:1].add(lax.ppermute(Dj[-1:], axis, perm_to_next))
-            D = D + scatter_lc(
+            D_chain = Di.at[1:].add(Dj[:-1])
+            D_chain = D_chain.at[0:1].add(lax.ppermute(Dj[-1:], axis, perm_to_next))
+            D = D_chain + scatter_lc(
                 jnp.einsum("lab,lac->lbc", Jli, Jli, precision=_HI), lc_owner_i, lc_loc_i
             )
             D = D + scatter_lc(
                 jnp.einsum("lab,lac->lbc", Jlj, Jlj, precision=_HI), lc_owner_j, lc_loc_j
             )
             D = jnp.where(fix_rows[:, None, None], eyeB, D)
+
+            if precond_kind == "direct":
+                delta = direct_step(g_blk, D, D_chain, Ji, Jj, Jli, Jlj, lam)
+                cg_k = jnp.asarray(1, jnp.int32)
+                new_poses = se3.retract(poses_blk, delta)
+                new_poses = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(
+                        fix_rows.reshape((B,) + (1,) * (a.ndim - 1)), a, b
+                    ),
+                    poses_blk,
+                    new_poses,
+                )
+                new_err = error(new_poses)
+                good = jnp.isfinite(new_err) & (new_err < err)
+                poses_blk = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(good, b, a), poses_blk, new_poses
+                )
+                err = jnp.where(good, new_err, err)
+                lam = jnp.where(
+                    good, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 10.0, 1e6)
+                )
+                g_norm = jnp.sqrt(lax.psum(jnp.sum(g_blk * g_blk), axis))
+                return (poses_blk, err, lam), (g_norm, cg_k)
+
             Dp = D * (1.0 + lam) + 1e-6 * jnp.eye(6, dtype=dtype)
 
             # --- preconditioner: per-block chain solve (device boundaries act
             # as tridiag segment cuts — same approximation as the single-device
             # segmented solve with aligned segments) ---
-            precond_kind = cfg.preconditioner
-            if precond_kind == "auto":
-                precond_kind = "dense_seg" if jax.default_backend() == "tpu" else "tridiag"
             if precond_kind in ("tridiag", "dense_seg"):
                 U_loc = jnp.einsum(
                     "kab,kac->kbc", Ji[: B - 1], Jj[: B - 1], precision=_HI
@@ -565,6 +674,9 @@ def _align_ba(mesh: Mesh, prob: BAProblem, axis: str):
         kp_valid=vout,
         lm0=out["lm0"], lm_prior=out["lm_prior"],
         need_idx=jnp.asarray(need_idx.reshape(n * n, Rj)),
+        # global TARGET pose index per slot (direct step's V construction —
+        # the routed tables only carry owner/slot, not the raw index)
+        kp_gj=jnp.asarray(kp_j_r.astype(np.int32)),
     )
     return poses0, odo_meas, aligned, out_orig, B, Kf, Rj, P_real
 
@@ -575,16 +687,31 @@ def _align_ba(mesh: Mesh, prob: BAProblem, axis: str):
 )
 def _seq_ba_run(poses0, odo_meas, odo_sigmas,
                 kp_loc_i, recv_slot, kp_sr_s, kp_sr_t, kp_valid, lm0, lm_prior,
-                need_idx, lm_prior_sigmas,
+                need_idx, kp_gj, lm_prior_sigmas,
                 mesh: Mesh, cfg: FullBAConfig, kp_cfg: KeypointNoiseConfig,
                 axis: str, B: int, Kf: int, Rj: int, P_real: int):
     n = mesh.devices.size
     perm_from_next = [((i + 1) % n, i) for i in range(n)]
     perm_to_next = [(i, (i + 1) % n) for i in range(n)]
 
+    # trace-time linear-solve choice (mirrors solve_full_ba's "auto"): on TPU
+    # the exact direct Woodbury step of the Schur-reduced system runs on the
+    # mesh via the SPIKE chain factorization; the capacitance width is 3 per
+    # GLOBAL (padded) correspondence slot, so the guard uses n * Kf.
+    precond_kind = cfg.preconditioner
+    if precond_kind == "auto":
+        if jax.default_backend() == "tpu":
+            Kg = n * Kf
+            mem_ok = B * 6 * (3 * Kg + 1) * 4 * 3 < 4e9
+            precond_kind = "direct" if (Kg <= 1024 and mem_ok and B >= 2) else "dense_seg"
+        else:
+            precond_kind = "tridiag"
+    if precond_kind == "direct" and B < 2:
+        precond_kind = "tridiag"  # SPIKE needs >= 2 rows per device
+
     def solve_blk(poses0_blk, odo_blk, odo_sigmas,
                   loc_i_b, slot_b, sr_s_b, sr_t_b, kv_b, lm0_b, lmp_b,
-                  need_b, lm_prior_sigmas):
+                  need_b, gj_b, lm_prior_sigmas):
         d = lax.axis_index(axis)
         gidx = d * B + jnp.arange(B)
         is_pad = gidx >= P_real
@@ -670,6 +797,37 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
 
         err0 = error(poses0_blk, lm0_b)
         w_kp = kv_b.astype(dtype)
+
+        def _seq_ba_finish(poses_blk, lms_b, err, lam, delta_p, cg_k,
+                           Jp_s, Jp_t, Jl_s, Jl_t, g_l, ll_solve):
+            """Shared trial tail: landmark back-substitution (one routed
+            gather for the target endpoints), retract, LM accept gate.
+            ``delta_p`` comes from either the PCG or the direct SPIKE step."""
+            hv = jnp.einsum("kab,kb->ka", Jp_s, delta_p[loc_i_b], precision=_HI)
+            ht = jnp.einsum("kab,kb->ka", Jp_t, routed_gather(delta_p), precision=_HI)
+            w2 = jnp.einsum("kab,ka->kb", Jl_s, hv, precision=_HI) + jnp.einsum(
+                "kab,ka->kb", Jl_t, ht, precision=_HI
+            )
+            delta_l = ll_solve(-g_l - w2)
+
+            new_poses = se3.retract(poses_blk, delta_p)
+            new_poses = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    fix_rows.reshape((B,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                poses_blk,
+                new_poses,
+            )
+            new_lms = lms_b + delta_l
+            new_err = error(new_poses, new_lms)
+            good = jnp.isfinite(new_err) & (new_err < err)
+            poses_blk = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(good, b, a), poses_blk, new_poses
+            )
+            lms_b = jnp.where(good, new_lms, lms_b)
+            err = jnp.where(good, new_err, err)
+            lam = jnp.where(good, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 10.0, 1e6))
+            return poses_blk, lms_b, err, lam, cg_k
 
         def trial(carry):
             poses_blk, lms_b, err, lam = carry
@@ -762,6 +920,87 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
             )
             g_red = jnp.where(fix_rows[:, None], 0.0, g_red)
 
+            if precond_kind == "direct":
+                # --- EXACT damped step, distributed (zero CG): SPIKE chain
+                # factorization + Woodbury over the landmark coupling columns
+                # (3 per global correspondence slot).  Same math as
+                # solvers.full_ba._direct_ba_step; the V rows of REMOTE target
+                # poses are built from one small all_gather of the per-factor
+                # coupling blocks (n*Kf*36 floats — factor metadata, not pose
+                # state), and the capacitance gathers W rows with a masked
+                # psum.  All collectives are per-TRIAL, not per-CG-iteration.
+                from ..solvers.tridiag import spike_block_tridiag_multi
+
+                Kg = n * Kf
+                U_all = jnp.einsum("kab,kac->kbc", Ja, Jb, precision=_DEFP)
+                next_first_fixed = ((d + 1) * B >= P_real) | (d == n - 1)
+                cz = fix_rows | jnp.concatenate(
+                    [fix_rows[1:], jnp.reshape(next_first_fixed, (1,))]
+                )
+                U_all = jnp.where(cz[:, None, None], 0.0, U_all)
+
+                gi_b = d * B + loc_i_b  # source pose is local (owner-aligned)
+                Hpl_s0 = jnp.where((gi_b == 0)[:, None, None], 0.0, Hpl_s)
+                Hpl_t0 = jnp.where((gj_b == 0)[:, None, None], 0.0, Hpl_t)
+                Vhat_s = jax.scipy.linalg.solve_triangular(
+                    L_ll, Hpl_s0.swapaxes(-1, -2), lower=True
+                ).swapaxes(-1, -2)  # (Kf, 6, 3)
+                Vhat_t = jax.scipy.linalg.solve_triangular(
+                    L_ll, Hpl_t0.swapaxes(-1, -2), lower=True
+                ).swapaxes(-1, -2)
+
+                VS_all = lax.all_gather(Vhat_s, axis).reshape(Kg, 6, 3)
+                VT_all = lax.all_gather(Vhat_t, axis).reshape(Kg, 6, 3)
+                gi_all = lax.all_gather(gi_b, axis).reshape(Kg)
+                gj_all = lax.all_gather(gj_b, axis).reshape(Kg)
+
+                loc = jnp.arange(B)
+                ohi = (
+                    ((gi_all // B) == d)[:, None] & ((gi_all % B)[:, None] == loc)
+                ).astype(dtype)
+                ohj = (
+                    ((gj_all // B) == d)[:, None] & ((gj_all % B)[:, None] == loc)
+                ).astype(dtype)
+                V = jnp.einsum("qb,qca->bcqa", ohi, VS_all, precision=_DEFP) + jnp.einsum(
+                    "qb,qca->bcqa", ohj, VT_all, precision=_DEFP
+                )
+                V = V.reshape(B, 6, 3 * Kg)
+
+                T_diag = (1.0 + lam) * D_p + 1e-6 * jnp.eye(6, dtype=dtype)
+                T_diag = jnp.where(fix_rows[:, None, None], eyeB, T_diag)
+                B_rhs = jnp.concatenate([(-g_red)[:, :, None], V], axis=2)
+                W = spike_block_tridiag_multi(
+                    T_diag, U_all[: B - 1], U_all[B - 1], B_rhs, axis, n
+                )
+                w0, Wv = W[:, :, 0], W[:, :, 1:]
+
+                def gather_global(x, g):
+                    own = (g // B) == d
+                    v = x[g % B]
+                    m = own.reshape(own.shape + (1,) * (v.ndim - 1))
+                    return lax.psum(jnp.where(m, v, jnp.zeros_like(v)), axis)
+
+                Wi = gather_global(Wv, gi_all)  # (Kg, 6, 3Kg)
+                Wj = gather_global(Wv, gj_all)
+                w0i = gather_global(w0, gi_all)  # (Kg, 6)
+                w0j = gather_global(w0, gj_all)
+                AW = jnp.einsum("qba,qbr->qar", VS_all, Wi, precision=_DEFP) + jnp.einsum(
+                    "qba,qbr->qar", VT_all, Wj, precision=_DEFP
+                )
+                C = jnp.eye(3 * Kg, dtype=dtype) - AW.reshape(3 * Kg, 3 * Kg)
+                c0 = (
+                    jnp.einsum("qba,qb->qa", VS_all, w0i, precision=_DEFP)
+                    + jnp.einsum("qba,qb->qa", VT_all, w0j, precision=_DEFP)
+                ).reshape(-1)
+                Lc = jnp.linalg.cholesky(0.5 * (C + C.T))
+                yw = jax.scipy.linalg.cho_solve((Lc, True), c0)
+                delta_p = w0 + jnp.einsum("bar,r->ba", Wv, yw, precision=_DEFP)
+                cg_k = jnp.asarray(0, jnp.int32)
+                return _seq_ba_finish(
+                    poses_blk, lms_b, err, lam, fix_vec(delta_p), cg_k,
+                    Jp_s, Jp_t, Jl_s, Jl_t, g_l, ll_solve,
+                )
+
             # --- Schur matvec: chain halo + ONE routed gather + ONE routed
             # scatter — no O(P) collective anywhere ---
             def matvec(v):
@@ -804,9 +1043,6 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
             Dp_damped = jnp.where(fix_rows[:, None, None], eyeB, Dp_damped)
             Dp_damped = Dp_damped + 1e-5 * jnp.eye(6, dtype=dtype)
 
-            precond_kind = cfg.preconditioner
-            if precond_kind == "auto":
-                precond_kind = "dense_seg" if jax.default_backend() == "tpu" else "tridiag"
             seg = cfg.tridiag_segment if jax.default_backend() != "tpu" else min(cfg.tridiag_segment, 64)
             seg = min(seg, B)
             if precond_kind in ("tridiag", "dense_seg"):
@@ -851,34 +1087,10 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
                 return lax.psum(jnp.sum(a * b), axis)
 
             delta_p, cg_k = _pcg_dist(matvec, -g_red, precond, cfg.cg_tol, cfg.cg_max_iters, dot)
-            delta_p = fix_vec(delta_p)
-
-            # --- landmark back-substitution (needs delta at kp endpoints) ---
-            hv = jnp.einsum("kab,kb->ka", Jp_s, delta_p[loc_i_b], precision=_HI)
-            ht = jnp.einsum("kab,kb->ka", Jp_t, routed_gather(delta_p), precision=_HI)
-            w2 = jnp.einsum("kab,ka->kb", Jl_s, hv, precision=_HI) + jnp.einsum(
-                "kab,ka->kb", Jl_t, ht, precision=_HI
+            return _seq_ba_finish(
+                poses_blk, lms_b, err, lam, fix_vec(delta_p), cg_k,
+                Jp_s, Jp_t, Jl_s, Jl_t, g_l, ll_solve,
             )
-            delta_l = ll_solve(-g_l - w2)
-
-            new_poses = se3.retract(poses_blk, delta_p)
-            new_poses = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(
-                    fix_rows.reshape((B,) + (1,) * (a.ndim - 1)), a, b
-                ),
-                poses_blk,
-                new_poses,
-            )
-            new_lms = lms_b + delta_l
-            new_err = error(new_poses, new_lms)
-            good = jnp.isfinite(new_err) & (new_err < err)
-            poses_blk = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(good, b, a), poses_blk, new_poses
-            )
-            lms_b = jnp.where(good, new_lms, lms_b)
-            err = jnp.where(good, new_err, err)
-            lam = jnp.where(good, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 10.0, 1e6))
-            return poses_blk, lms_b, err, lam, cg_k
 
         def w_cond(state):
             _, _, _, _, k, stall, _ = state
@@ -914,7 +1126,7 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
         in_specs=(
             P(axis), P(axis), P(),
             P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-            P(axis),
+            P(axis), P(axis),
             P(),
         ),
         out_specs=(P(axis), P(axis), P()),
@@ -922,7 +1134,7 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
     )
     return fn(poses0, odo_meas, odo_sigmas,
               kp_loc_i, recv_slot, kp_sr_s, kp_sr_t, kp_valid, lm0, lm_prior,
-              need_idx, lm_prior_sigmas)
+              need_idx, kp_gj, lm_prior_sigmas)
 
 
 def seq_full_ba_solve(mesh: Mesh, prob: BAProblem,
@@ -949,7 +1161,8 @@ def seq_full_ba_solve(mesh: Mesh, prob: BAProblem,
         poses0, odo_meas, prob.odo_sigmas,
         aligned["kp_loc_i"], aligned["recv_slot"], aligned["sr_s"],
         aligned["sr_t"], aligned["kp_valid"], aligned["lm0"],
-        aligned["lm_prior"], aligned["need_idx"], prob.lm_prior_sigmas,
+        aligned["lm_prior"], aligned["need_idx"], aligned["kp_gj"],
+        prob.lm_prior_sigmas,
         mesh, cfg, kp_cfg, axis, B, Kf, Rj, P_real,
     )
     # un-permute landmarks back to the caller's factor order (invalid rows
