@@ -1,24 +1,39 @@
 """Benchmark: end-to-end SLAM throughput in pings/sec on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Measured span: keyframe preprocessing (normalize/mask/geo) + batched loop-closure
-mini-solves + global pose-graph LM, on a standard synthetic survey (5 lines x 600
-pings x 512 bins, annotation-driven — the test_demo-equivalent configuration,
-BASELINE.json config 1/3).  Warmup run first so compile time is excluded; the
-reported number is steady-state throughput.
+Measured spans (all steady-state, warmup pass first so compile is excluded):
+
+* headline (``value``): the reference-parity annotation pipeline on the
+  standard synthetic survey (5 lines x 600 pings x 512 bins — the test_demo
+  equivalent, BASELINE.json config 1/3);
+* ``value_12k_poses``: the same pipeline at the 20-line (12k-pose) stress
+  point (BASELINE config 4 scale);
+* ``value_full_ba`` / ``ate_full_ba``: the FLAGSHIP estimator — joint
+  Schur-complement bundle adjustment on a crossing-line survey (5 mains +
+  2 ties, 4200 poses), with its ATE so accuracy regressions are
+  driver-visible (VERDICT r3 item 4);
+* ``value_auto`` / ``ate_auto``: the fully-automatic pipeline (ZERO
+  annotations: detect -> dense world-correlation match -> joint BA,
+  ``automatic_config()`` / CLI --auto) on a small drifting survey.
+
+Profiling honesty (VERDICT r3 item 5): keyframe host preprocessing and the
+host->device upload are timed as explicit stages and merged into the stage
+dict, so the reported profile sums to >= ~95% of wall
+(``timings_sum_frac``); per-pass walls are reported (``wall_samples_*``) so
+tunnel run-to-run variance is visible in the JSON itself.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md) and its
 GTSAM/OpenCV stack is not buildable in this image, so the denominator is a
-MEASURED PROXY of its estimation core, re-run on this host's CPU at every bench
-invocation (see :func:`reference_stream_proxy`): the reference streams every
-ping through two ``isam.update()`` calls on a growing pose graph, single-threaded
-CPU (optimizer.cpp:264-268); the proxy replays that per-ping incremental solve
-pattern in scipy (banded Cholesky on the growing 6-dof block-tridiagonal chain,
-warm-started, one GN step per ping).  The proxy is deliberately GENEROUS to the
-reference: it prices only the pose-chain linear algebra — no loop-closure
-factors, no feature extraction, no matching, no re-linearization of old factors
-(all of which the reference also pays per survey).
+MEASURED PROXY of its estimation core, re-run on this host's CPU at every
+bench invocation (see :func:`reference_stream_proxy`): the reference streams
+every ping through two ``isam.update()`` calls on a growing pose graph,
+single-threaded CPU (optimizer.cpp:264-268); the proxy replays that per-ping
+incremental solve pattern in scipy (banded Cholesky on the growing 6-dof
+block-tridiagonal chain, warm-started, one GN step per ping).  The proxy is
+deliberately GENEROUS to the reference: it prices only the pose-chain linear
+algebra — no loop-closure factors, no feature extraction, no matching, no
+re-linearization of old factors (all of which the reference also pays).
 """
 
 import json
@@ -67,7 +82,22 @@ def reference_stream_proxy(n_pings: int = 3000) -> float:
     return n_pings / dt
 
 
-def run(n_lines=5, n_pings=600, n_bins=512, n_landmarks=60, n_passes=3):
+def _sync_uploads(frames):
+    """Force completion of the async host->device uploads: one tiny slice per
+    uploaded tensor, fetched in ONE batched device_get (device execution is
+    in-order, so these waits cover every earlier enqueued transfer).  Through
+    the axon tunnel ``block_until_ready`` does NOT synchronize — a value
+    fetch is the only reliable barrier."""
+    import jax
+
+    probes = []
+    for f in frames:
+        probes += [f.norm[0, 0], f.mask[0, 0], f.geo[0, 0, 0]]
+    jax.device_get(probes)
+
+
+def run(n_lines=5, n_pings=600, n_bins=512, n_landmarks=60, n_passes=3,
+        n_tie_lines=0, cfg=None, with_gt=False, drift_xy=0.004, seed=0):
     from diasss_tpu.cache import enable_compile_cache
     from diasss_tpu.config import PipelineConfig
 
@@ -76,11 +106,16 @@ def run(n_lines=5, n_pings=600, n_bins=512, n_landmarks=60, n_passes=3):
     from diasss_tpu.pipeline import run_slam
     from diasss_tpu.synthetic import make_survey
 
-    survey = make_survey(n_lines=n_lines, n_pings=n_pings, n_bins=n_bins, n_landmarks=n_landmarks)
+    cfg = cfg or PipelineConfig()
+    survey = make_survey(n_lines=n_lines, n_pings=n_pings, n_bins=n_bins,
+                         n_landmarks=n_landmarks, n_tie_lines=n_tie_lines,
+                         drift_xy=drift_xy, seed=seed)
     total_pings = sum(len(l.dr_poses) for l in survey.lines)
+    gt = [l.gt_poses for l in survey.lines] if with_gt else None
 
     def one_pass():
-        t0 = time.perf_counter()
+        stage = {}
+        t_start = time.perf_counter()
         # host_preprocess: normalize+mask on host (the reference's own CPU
         # placement) and upload uint8+packed-bits instead of the float32 raw
         # raster — 3.6x fewer bytes through the (tunneled) host->device link
@@ -89,41 +124,98 @@ def run(n_lines=5, n_pings=600, n_bins=512, n_landmarks=60, n_passes=3):
              for l in survey.lines],
             host_preprocess=True,
         )
-        result = run_slam(frames, PipelineConfig(), run_eval2=False)
-        return time.perf_counter() - t0, result
+        stage["keyframes_host"] = time.perf_counter() - t_start
+        t0 = time.perf_counter()
+        _sync_uploads(frames)
+        stage["upload"] = time.perf_counter() - t0
+        result = run_slam(frames, cfg, gt_rows_list=gt, run_eval2=False)
+        wall = time.perf_counter() - t_start
+        stage.update(result.timings)
+        return wall, result, stage
 
-    # warmup (compile)
-    one_pass()
+    one_pass()  # warmup (compile)
+    passes = [one_pass() for _ in range(n_passes)]
+    walls = sorted(p[0] for p in passes)
     # best of n measured passes: the remote-tunnel dispatch latency varies
     # +-10% run to run; the minimum is the honest steady-state capability
-    dt, result = min((one_pass() for _ in range(n_passes)), key=lambda p: p[0])
-    return total_pings / dt, result, dt
+    # (per-pass walls ride the JSON so the variance itself is recorded)
+    wall, result, stage = min(passes, key=lambda p: p[0])
+    return dict(
+        pings_per_sec=total_pings / wall,
+        wall=wall,
+        walls=walls,
+        timings=stage,
+        timings_sum_frac=sum(stage.values()) / wall,
+        ate_dr=result.ate_dr,
+        ate_est=result.ate_est,
+        total_pings=total_pings,
+    )
 
 
 def main():
-    value, result, dt = run()
-    print(f"stage timings (s): {result.timings}  wall {dt:.2f}s", file=sys.stderr)
-    # 12k-pose stress point (BASELINE config 4 scale): dispatch overhead
-    # amortizes with survey size, so the 3k headline alone under-reports
-    # capability at mission scale (VERDICT r2 weak #8)
-    value_12k, result_12k, dt_12k = run(n_lines=20, n_passes=2)
-    print(f"12k stage timings (s): {result_12k.timings}  wall {dt_12k:.2f}s",
-          file=sys.stderr)
+    import dataclasses
+
+    from diasss_tpu.config import PipelineConfig, automatic_config
+
+    # --- headline: reference-parity annotation pipeline, 3k poses ---
+    r3k = run(with_gt=True)
+    print(f"3k: {r3k['pings_per_sec']:.0f} pings/s  walls {['%.2f' % w for w in r3k['walls']]}  "
+          f"sum_frac {r3k['timings_sum_frac']:.2f}  ate {r3k['ate_dr']:.2f}->{r3k['ate_est']:.2f}\n"
+          f"    timings {r3k['timings']}", file=sys.stderr)
+
+    # --- 12k-pose stress point (BASELINE config 4 scale) ---
+    r12k = run(n_lines=20, n_passes=2, with_gt=True)
+    print(f"12k: {r12k['pings_per_sec']:.0f} pings/s  walls {['%.2f' % w for w in r12k['walls']]}  "
+          f"sum_frac {r12k['timings_sum_frac']:.2f}  ate {r12k['ate_dr']:.2f}->{r12k['ate_est']:.2f}\n"
+          f"    timings {r12k['timings']}", file=sys.stderr)
+
+    # --- flagship estimator: joint Schur BA on a crossing survey (4200
+    # poses, direct Woodbury step) — throughput AND accuracy of record ---
+    ba_cfg = dataclasses.replace(PipelineConfig(), min_overlap=0.1, estimator="full_ba")
+    rba = run(n_lines=5, n_tie_lines=2, n_landmarks=300, n_passes=2,
+              cfg=ba_cfg, with_gt=True)
+    print(f"full_ba: {rba['pings_per_sec']:.0f} pings/s  ate {rba['ate_dr']:.2f}->{rba['ate_est']:.2f}\n"
+          f"    timings {rba['timings']}", file=sys.stderr)
+
+    # --- fully-automatic pipeline (ZERO annotations): detect -> dense
+    # world-correlation match -> joint BA + drift-compensated re-match ---
+    rauto = run(n_lines=3, n_pings=400, n_tie_lines=1, n_landmarks=200,
+                n_passes=2, cfg=automatic_config(), with_gt=True,
+                drift_xy=0.006, seed=7)
+    print(f"auto: {rauto['pings_per_sec']:.0f} pings/s  ate {rauto['ate_dr']:.2f}->{rauto['ate_est']:.2f}\n"
+          f"    timings {rauto['timings']}", file=sys.stderr)
+
     # best of 2: the proxy's pings/s moves with host CPU state; the faster
     # run is the fairest statement of the reference's capability
     baseline = max(reference_stream_proxy(), reference_stream_proxy())
     baseline_12k = reference_stream_proxy(12000)
+    baseline_ba = reference_stream_proxy(4200)
     print(
         json.dumps(
             {
                 "metric": "slam_pings_per_sec",
-                "value": round(value, 2),
+                "value": round(r3k["pings_per_sec"], 2),
                 "unit": "pings/s",
-                "vs_baseline": round(value / baseline, 3),
+                "vs_baseline": round(r3k["pings_per_sec"] / baseline, 3),
                 "baseline_proxy_pings_per_sec": round(baseline, 2),
-                "value_12k_poses": round(value_12k, 2),
-                "vs_baseline_12k": round(value_12k / baseline_12k, 3),
+                "wall_samples_3k": [round(w, 3) for w in r3k["walls"]],
+                "timings_sum_frac_3k": round(r3k["timings_sum_frac"], 3),
+                "ate_3k": round(r3k["ate_est"], 3),
+                "ate_dr_3k": round(r3k["ate_dr"], 3),
+                "value_12k_poses": round(r12k["pings_per_sec"], 2),
+                "vs_baseline_12k": round(r12k["pings_per_sec"] / baseline_12k, 3),
                 "baseline_proxy_12k": round(baseline_12k, 2),
+                "wall_samples_12k": [round(w, 3) for w in r12k["walls"]],
+                "timings_sum_frac_12k": round(r12k["timings_sum_frac"], 3),
+                "ate_12k": round(r12k["ate_est"], 3),
+                "ate_dr_12k": round(r12k["ate_dr"], 3),
+                "value_full_ba": round(rba["pings_per_sec"], 2),
+                "vs_baseline_full_ba": round(rba["pings_per_sec"] / baseline_ba, 3),
+                "ate_full_ba": round(rba["ate_est"], 3),
+                "ate_dr_full_ba": round(rba["ate_dr"], 3),
+                "value_auto": round(rauto["pings_per_sec"], 2),
+                "ate_auto": round(rauto["ate_est"], 3),
+                "ate_dr_auto": round(rauto["ate_dr"], 3),
             }
         )
     )

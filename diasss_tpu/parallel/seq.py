@@ -589,12 +589,6 @@ def _align_ba(mesh: Mesh, prob: BAProblem, axis: str):
     """
     from .alltoall import reshard_rows
 
-    if prob.kp_i_fix is not None or prob.kp_j_fix is not None:
-        raise NotImplementedError(
-            "constant-pose (fixed-lag window) factors are a streaming-mode "
-            "feature (online.OnlineSlam); the sequence-parallel batch solver "
-            "expects a fully-free BAProblem"
-        )
     n = mesh.devices.size
     chain = PoseGraph(
         poses0=prob.poses0, odo_meas=prob.odo_meas, odo_sigmas=prob.odo_sigmas,
@@ -619,10 +613,25 @@ def _align_ba(mesh: Mesh, prob: BAProblem, axis: str):
     np.add.at(lane, (src[valid], dest[valid]), 1)
     capacity = max(1, int(lane.max()))
 
-    # device-side payload reshard (ONE all_to_all per leaf)
+    # device-side payload reshard (ONE all_to_all per leaf).  Constant-pose
+    # (fixed-lag window) endpoints ride along as per-factor payload: the fix
+    # masks and the frozen poses (identity / all-free when the problem has
+    # none) — a frozen endpoint's pose is factor DATA, not solver state, so
+    # it owner-aligns exactly like the slant ranges (VERDICT r3 item 6).
+    K_rows = int(prob.kp_i.shape[0])
+    fix_i = prob.kp_i_fix if prob.kp_i_fix is not None else jnp.zeros(K_rows, bool)
+    fix_j = prob.kp_j_fix if prob.kp_j_fix is not None else jnp.zeros(K_rows, bool)
+    cps = prob.kp_pose_s if prob.kp_pose_s is not None else se3.identity(
+        (K_rows,), prob.poses0.t.dtype
+    )
+    cpt = prob.kp_pose_t if prob.kp_pose_t is not None else se3.identity(
+        (K_rows,), prob.poses0.t.dtype
+    )
     tree = dict(
         sr_s=prob.kp_sr_s, sr_t=prob.kp_sr_t,
         lm0=prob.lm0, lm_prior=prob.lm_prior,
+        fix_i=fix_i, fix_j=fix_j,
+        cps_R=cps.R, cps_t=cps.t, cpt_R=cpt.R, cpt_t=cpt.t,
     )
     out, vout, dropped = reshard_rows(
         mesh, tree, jnp.asarray(dest), jnp.asarray(valid),
@@ -677,6 +686,9 @@ def _align_ba(mesh: Mesh, prob: BAProblem, axis: str):
         # global TARGET pose index per slot (direct step's V construction —
         # the routed tables only carry owner/slot, not the raw index)
         kp_gj=jnp.asarray(kp_j_r.astype(np.int32)),
+        fix_i=out["fix_i"], fix_j=out["fix_j"],
+        cps=se3.Pose3(out["cps_R"], out["cps_t"]),
+        cpt=se3.Pose3(out["cpt_R"], out["cpt_t"]),
     )
     return poses0, odo_meas, aligned, out_orig, B, Kf, Rj, P_real
 
@@ -687,7 +699,7 @@ def _align_ba(mesh: Mesh, prob: BAProblem, axis: str):
 )
 def _seq_ba_run(poses0, odo_meas, odo_sigmas,
                 kp_loc_i, recv_slot, kp_sr_s, kp_sr_t, kp_valid, lm0, lm_prior,
-                need_idx, kp_gj, lm_prior_sigmas,
+                need_idx, kp_gj, fix_i, fix_j, cps, cpt, lm_prior_sigmas,
                 mesh: Mesh, cfg: FullBAConfig, kp_cfg: KeypointNoiseConfig,
                 axis: str, B: int, Kf: int, Rj: int, P_real: int):
     n = mesh.devices.size
@@ -711,7 +723,8 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
 
     def solve_blk(poses0_blk, odo_blk, odo_sigmas,
                   loc_i_b, slot_b, sr_s_b, sr_t_b, kv_b, lm0_b, lmp_b,
-                  need_b, gj_b, lm_prior_sigmas):
+                  need_b, gj_b, fix_i_b, fix_j_b, cps_b, cpt_b,
+                  lm_prior_sigmas):
         d = lax.axis_index(axis)
         gidx = d * B + jnp.arange(B)
         is_pad = gidx >= P_real
@@ -761,6 +774,23 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
             """Source-pose values: owner-aligned, a plain local index read."""
             return jax.tree_util.tree_map(lambda x: x[loc_i_b], tree_blk)
 
+        def _row_where(mask, a, b):
+            return jax.tree_util.tree_map(
+                lambda x, y: jnp.where(
+                    mask.reshape((-1,) + (1,) * (x.ndim - 1)), x, y
+                ),
+                a, b,
+            )
+
+        def endpoint_poses(poses_blk):
+            """Effective per-factor endpoint poses: the optimized pose, or
+            the frozen constant where the fix mask is set (fixed-lag window
+            factors — the frozen side contributes NO pose Jacobian but keeps
+            constraining the landmark; solvers/full_ba.py:_endpoint_poses)."""
+            pi = _row_where(fix_i_b, cps_b, local_gather(poses_blk))
+            pj = _row_where(fix_j_b, cpt_b, routed_gather(poses_blk))
+            return pi, pj
+
         def local_scatter(vals):
             return jax.ops.segment_sum(vals, loc_i_b, B)
 
@@ -772,8 +802,7 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
             xj = shifted(poses_blk)
             r_o = jax.vmap(between_residual)(poses_blk, xj, odo_blk) / odo_sigmas
             r_o = jnp.where(odo_valid[:, None], r_o, 0.0)
-            pose_i = local_gather(poses_blk)
-            pose_j = routed_gather(poses_blk)
+            pose_i, pose_j = endpoint_poses(poses_blk)
             Ts = se3.identity(dtype=dtype)
 
             def kp_res(pose, lm, sr, sig):
@@ -842,14 +871,17 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
             Jb = Jb * w[..., None]
 
             # --- sonar factor linearization on my owner-aligned shard ---
-            pose_i = local_gather(poses_blk)
-            pose_j = routed_gather(poses_blk)  # O(n*Rj) 12-float exchange
+            pose_i, pose_j = endpoint_poses(poses_blk)  # O(n*Rj) exchange
             r_s, Jp_s, Jl_s = jax.vmap(_sss_factor_terms)(
                 pose_i, lms_b, sr_s_b, sig_s
             )
             r_t, Jp_t, Jl_t = jax.vmap(_sss_factor_terms)(
                 pose_j, lms_b, sr_t_b, sig_t
             )
+            # frozen endpoints: constant pose -> zero pose Jacobian (the
+            # landmark side remains a live constraint)
+            Jp_s = jnp.where(fix_i_b[:, None, None], 0.0, Jp_s)
+            Jp_t = jnp.where(fix_j_b[:, None, None], 0.0, Jp_t)
             vmask = kv_b
             r_s = jnp.where(vmask[:, None], r_s, 0.0)
             r_t = jnp.where(vmask[:, None], r_t, 0.0)
@@ -1126,7 +1158,7 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
         in_specs=(
             P(axis), P(axis), P(),
             P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-            P(axis), P(axis),
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
             P(),
         ),
         out_specs=(P(axis), P(axis), P()),
@@ -1134,7 +1166,7 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
     )
     return fn(poses0, odo_meas, odo_sigmas,
               kp_loc_i, recv_slot, kp_sr_s, kp_sr_t, kp_valid, lm0, lm_prior,
-              need_idx, kp_gj, lm_prior_sigmas)
+              need_idx, kp_gj, fix_i, fix_j, cps, cpt, lm_prior_sigmas)
 
 
 def seq_full_ba_solve(mesh: Mesh, prob: BAProblem,
@@ -1162,6 +1194,7 @@ def seq_full_ba_solve(mesh: Mesh, prob: BAProblem,
         aligned["kp_loc_i"], aligned["recv_slot"], aligned["sr_s"],
         aligned["sr_t"], aligned["kp_valid"], aligned["lm0"],
         aligned["lm_prior"], aligned["need_idx"], aligned["kp_gj"],
+        aligned["fix_i"], aligned["fix_j"], aligned["cps"], aligned["cpt"],
         prob.lm_prior_sigmas,
         mesh, cfg, kp_cfg, axis, B, Kf, Rj, P_real,
     )

@@ -254,3 +254,68 @@ class TestDampingSweep:
                               lam_sweep_factors=(0.1, 1.0, 10.0))
         poses, info = solve_pose_graph(g0, cfg)
         assert float(info.error) < float(info.error0) * 1e-3
+
+
+class TestCoarseInit:
+    """Opt-in coarse_init_stride > 1: solve the graph restricted to every
+    stride-th pose, prolongate along the clean DR chain, start the fine LM
+    there.  Pins (a) same fixed point as the plain solve, (b) the coarse
+    init never starts worse than DR (err_init <= err0 by the adopt-gate),
+    (c) the DR-chain scan / LC conjugation / prolongation machinery against
+    regression (ADVICE r3)."""
+
+    def test_same_fixed_point_and_adopt_gate(self):
+        import dataclasses
+
+        from diasss_tpu.solvers.pose_graph import (
+            _coarse_graph_and_chain,
+            _prolongate,
+            graph_error,
+        )
+
+        g = _drifted_lc_graph()
+        cfg_0 = PoseGraphConfig(preconditioner="direct")
+        cfg_c = dataclasses.replace(cfg_0, coarse_init_stride=4)
+        p_0, i_0 = solve_pose_graph(g, cfg_0)
+        p_c, i_c = solve_pose_graph(g, cfg_c)
+        np.testing.assert_allclose(np.asarray(p_c.t), np.asarray(p_0.t), atol=2e-3)
+        assert abs(float(i_c.error) - float(i_0.error)) < 1e-2 * max(float(i_0.error), 1.0)
+
+        # the coarse-informed init itself must lower the initial error on a
+        # drifted graph (this is the claim that justifies the feature)
+        cgraph, chain = _coarse_graph_and_chain(g, 4)
+        cposes, _ = solve_pose_graph(cgraph, cfg_0, allow_coarse_init=False)
+        cand = _prolongate(cposes, chain, 4)
+        cand = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[:1], b[1:]], axis=0), g.poses0, cand
+        )
+        err0 = float(graph_error(g.poses0, g))
+        err_cand = float(graph_error(cand, g))
+        assert np.isfinite(err_cand)
+        assert err_cand < err0, (err_cand, err0)
+
+    def test_dr_chain_matches_cumulative_compose(self):
+        from diasss_tpu.solvers.pose_graph import _dr_chain
+
+        g = _drifted_lc_graph(n=17)
+        chain = _dr_chain(g)
+        # serial reference composition
+        cur = jax.tree_util.tree_map(lambda a: a[0], g.poses0)
+        for k in range(1, 17):
+            step = jax.tree_util.tree_map(lambda a: a[k - 1], g.odo_meas)
+            cur = se3.compose(cur, step)
+            np.testing.assert_allclose(
+                np.asarray(chain.t[k]), np.asarray(cur.t), atol=1e-4
+            )
+
+    def test_prolongate_identity_at_anchors(self):
+        from diasss_tpu.solvers.pose_graph import _coarse_graph_and_chain, _prolongate
+
+        g = _drifted_lc_graph(n=64)
+        cgraph, chain = _coarse_graph_and_chain(g, 8)
+        # prolongating the coarse INITIAL values along the chain reproduces
+        # the chain at anchors (coarse0 = chain[anchors] by construction)
+        fine = _prolongate(cgraph.poses0, chain, 8)
+        np.testing.assert_allclose(
+            np.asarray(fine.t[::8]), np.asarray(chain.t[::8]), atol=1e-4
+        )
