@@ -140,12 +140,16 @@ def run(n_lines=5, n_pings=600, n_bins=512, n_landmarks=60, n_passes=3,
     # +-10% run to run; the minimum is the honest steady-state capability
     # (per-pass walls ride the JSON so the variance itself is recorded)
     wall, result, stage = min(passes, key=lambda p: p[0])
+    # path COUNTERS (match_stacked_pairs etc.) ride the same dict as the
+    # stage TIMES; only the times belong in the wall-coverage fraction
+    t_only = {k: v for k, v in stage.items()
+              if not (k.endswith("_pairs") or k.endswith("_devices"))}
     return dict(
         pings_per_sec=total_pings / wall,
         wall=wall,
         walls=walls,
         timings=stage,
-        timings_sum_frac=sum(stage.values()) / wall,
+        timings_sum_frac=sum(t_only.values()) / wall,
         ate_dr=result.ate_dr,
         ate_est=result.ate_est,
         total_pings=total_pings,
@@ -216,6 +220,8 @@ def main():
                 "value_auto": round(rauto["pings_per_sec"], 2),
                 "ate_auto": round(rauto["ate_est"], 3),
                 "ate_dr_auto": round(rauto["ate_dr"], 3),
+                # detected-path stage profile (detect/matching/full_ba...)
+                "timings_auto": {k: round(v, 3) for k, v in rauto["timings"].items()},
             }
         )
     )

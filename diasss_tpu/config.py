@@ -206,7 +206,9 @@ class PoseGraphConfig:
     # sweep does not reduce the trial count (every trial already improves
     # the error by > the stall tolerance, so LM runs to max_gn_iters either
     # way; final error differs by 0.3%).  Kept as an opt-in for
-    # small-P / damping-sensitive problems.
+    # small-P / damping-sensitive problems.  Single-device direct path only:
+    # the sequence-parallel direct step (parallel/seq.py) always runs the
+    # classic single-lam schedule.
     lam_sweep_factors: tuple = (1.0,)
     # Coarse-to-fine initialization: > 1 solves the graph restricted to every
     # stride-th pose first (composed odometry between anchors, LC measurements

@@ -202,6 +202,16 @@ def _match_pairs(frames, feats, geo_list, pair_ids, cfg: PipelineConfig, matcher
     corres_rows: Dict[int, list] = {i: [] for i in range(len(frames))}
     same_caps = len({(f.xy.shape[0], f.desc.shape[1]) for f in feats}) == 1
     mesh = _maybe_mesh(cfg)
+    # Large keypoint capacities route through the ring-pass kernel even when
+    # the stacked whole-survey dispatch would otherwise fire: the stacked
+    # path materializes a (pairs, K, K) distance tensor — at K >= ring_min_kps
+    # one pair's block alone is >= 64 MB f32 and the whole-survey stack scales
+    # with the pair count, while the ring shards BOTH keypoint axes over the
+    # mesh and never holds more than a (K/n, K/n) block per device
+    # (ring_min_kps is measured — see MatcherConfig.ring_min_kps).
+    kcap = max((f.xy.shape[0] for f in feats), default=0)
+    if mesh is not None and kcap >= matcher_cfg.ring_min_kps:
+        stacked = False
     if stacked and same_caps and len(pair_ids) > 1:
         # whole-survey stacked dispatch: one device program + ONE transfer for
         # all pairs (the per-pair loop costs a device round trip per pair);
@@ -556,15 +566,22 @@ def _solve_full_ba(frames, geo_list, kps_pairs, pair_ids, cfg, init_poses, it, t
     if init_poses is not None:
         prob = prob._replace(poses0=init_poses)
     mesh = _maybe_mesh(cfg)
+    n_valid = int(np.asarray(prob.kp_valid).sum())
     if mesh is not None:
         from .parallel.seq import seq_full_ba_solve
 
         poses, lms, info = seq_full_ba_solve(mesh, prob, ba_cfg, cfg.kp_noise)
     else:
-        poses, lms, info = solve_full_ba(prob, ba_cfg, cfg.kp_noise)
+        # direct-path width trimming: build_ba_problem appends its padding at
+        # the tail, so the Woodbury columns can stop at the 128-bucketed valid
+        # count (bucketed: re-match iterations with shifting counts reuse
+        # compiled programs) — up to ~40% less multi-RHS work at a p2 pad
+        k_cols = min(int(prob.kp_i.shape[0]), max(128, -(-n_valid // 128) * 128))
+        poses, lms, info = solve_full_ba(prob, ba_cfg, cfg.kp_noise,
+                                         k_direct_cols=k_cols)
     jax.block_until_ready(poses.t)
     timings["full_ba"] = timings.get("full_ba", 0.0) + time.perf_counter() - t0
-    return poses, info, int(np.asarray(prob.kp_valid).sum())
+    return poses, info, n_valid
 
 
 def run_slam(
@@ -645,7 +662,8 @@ def run_slam(
 
     t0 = time.perf_counter()
     eval1, eval2 = _evaluate_pairs(
-        frames, kps_pairs, pair_ids, poses, frame_slices, offsets, cfg, run_eval2
+        frames, kps_pairs, pair_ids, poses, frame_slices, offsets, cfg, run_eval2,
+        timings=timings,
     )
     ate_dr = ate_est = None
     if gt_rows_list is not None:
@@ -693,11 +711,20 @@ def run_slam(
     return result
 
 
-def _evaluate_pairs(frames, kps_pairs, pair_ids, poses, frame_slices, offsets, cfg, run_eval2):
+def _evaluate_pairs(frames, kps_pairs, pair_ids, poses, frame_slices, offsets, cfg,
+                    run_eval2, timings=None):
     """Annotation-based evaluation (C18) for every gated pair; stacked single
-    dispatch when frames share a shape, per-pair fallback otherwise."""
+    dispatch when frames share a shape, per-pair fallback otherwise.  Which
+    path ran is recorded in ``timings['eval_stacked_pairs'/'eval_perpair_pairs']``
+    (mirrors the matcher's counters — the per-pair fallback is a round trip
+    per PAIR on remote-dispatch setups and must never regress silently)."""
     eval1: Dict[Tuple[int, int], Eval1Result] = {}
     eval2: Dict[Tuple[int, int], Eval2Result] = {}
+
+    def count(key, n):
+        if timings is not None and n:
+            timings[key] = timings.get(key, 0) + n
+
     same_shape = len({tuple(f.raw.shape) for f in frames}) == 1
     if same_shape and pair_ids:
         from .evaluate import (
@@ -732,6 +759,8 @@ def _evaluate_pairs(frames, kps_pairs, pair_ids, poses, frame_slices, offsets, c
                 jnp.stack([f.altitudes for f in frames]),
                 poses, offsets[:-1], cfg.kp_noise, cfg.loop_closure,
             )
+    count("eval_stacked_pairs", len(eval1))
+    count("eval_perpair_pairs", len([ij for ij in pair_ids if ij not in eval1]))
     for (i, j) in pair_ids:
         kp = kps_pairs[(i, j)]
         rows = kp.pairs[kp.valid]

@@ -157,7 +157,8 @@ def _ba_error_from_residuals(r_odo, r_s, r_t, r_pr, huber_delta: float) -> jnp.n
     return 0.5 * (jnp.sum(r_odo**2) + jnp.sum(r_pr**2)) + rob
 
 
-def _direct_ba_step(prob, g_red, U_chain, D_p, L_ll, Hpl_s, Hpl_t, lam, P, K):
+def _direct_ba_step(prob, g_red, U_chain, D_p, L_ll, Hpl_s, Hpl_t, lam, P, K,
+                    k_cols=None):
     """EXACT damped step of the Schur-reduced pose system — zero CG iterations.
 
     The reduced system decomposes as ``S = T' - V V^T``:
@@ -189,6 +190,13 @@ def _direct_ba_step(prob, g_red, U_chain, D_p, L_ll, Hpl_s, Hpl_t, lam, P, K):
 
     Reference anchor: the per-ping iSAM2 solve this replaces at the flagship
     estimator, /root/reference/src/core/optimizer.cpp:264-268.
+
+    ``k_cols`` (static, <= K): number of LEADING factor slots that carry the
+    Woodbury columns.  ``build_ba_problem`` appends its invalid padding at
+    the TAIL, so slots >= the (bucketed) valid count contribute exactly-zero
+    columns — trimming them cuts the multi-RHS width (the step's dominant
+    cost) by the padding fraction (up to ~40% at a power-of-two pad) without
+    changing the result.  Callers must guarantee slots >= k_cols are invalid.
     """
     from .tridiag import solve_block_tridiag_multi, thomas_block_tridiag_multi
 
@@ -200,10 +208,19 @@ def _direct_ba_step(prob, g_red, U_chain, D_p, L_ll, Hpl_s, Hpl_t, lam, P, K):
     dtype = D_p.dtype
     eye6 = jnp.eye(6, dtype=dtype)
 
+    if k_cols is None or k_cols > K:
+        k_cols = K
+    K = k_cols
+    Hpl_s = Hpl_s[:K]
+    Hpl_t = Hpl_t[:K]
+    L_ll = L_ll[:K]
+    kp_i = prob.kp_i[:K]
+    kp_j = prob.kp_j[:K]
+
     # gauge: pose-0-touching Schur couplings vanish (the PCG matvec zeroes
     # v[0] and overwrites out[0], which is the same operator)
-    Hpl_s0 = jnp.where((prob.kp_i == 0)[:, None, None], 0.0, Hpl_s)
-    Hpl_t0 = jnp.where((prob.kp_j == 0)[:, None, None], 0.0, Hpl_t)
+    Hpl_s0 = jnp.where((kp_i == 0)[:, None, None], 0.0, Hpl_s)
+    Hpl_t0 = jnp.where((kp_j == 0)[:, None, None], 0.0, Hpl_t)
     # Vhat = Hpl L_ll^-T  (K, 6, 3): batched 3x3 triangular solves
     Vhat_s = jax.scipy.linalg.solve_triangular(
         L_ll, Hpl_s0.swapaxes(-1, -2), lower=True
@@ -215,8 +232,8 @@ def _direct_ba_step(prob, g_red, U_chain, D_p, L_ll, Hpl_s, Hpl_t, lam, P, K):
     # V: (P, 6, K, 3) via one-hot broadcast-multiply, NOT scatter-add (a
     # traced-index scatter lowers to a serial per-row loop on TPU — the same
     # finding as pose_graph._direct_lm_step_multi's V construction)
-    onehot_i = (prob.kp_i[:, None] == jnp.arange(P)[None, :]).astype(dtype)
-    onehot_j = (prob.kp_j[:, None] == jnp.arange(P)[None, :]).astype(dtype)
+    onehot_i = (kp_i[:, None] == jnp.arange(P)[None, :]).astype(dtype)
+    onehot_j = (kp_j[:, None] == jnp.arange(P)[None, :]).astype(dtype)
     V = jnp.einsum("kp,kba->pbka", onehot_i, Vhat_s, precision=_DEFP) + jnp.einsum(
         "kp,kba->pbka", onehot_j, Vhat_t, precision=_DEFP
     )
@@ -231,12 +248,12 @@ def _direct_ba_step(prob, g_red, U_chain, D_p, L_ll, Hpl_s, Hpl_t, lam, P, K):
     # capacitance C = I - V^T T'^-1 V, assembled by gathering W at the
     # factor endpoints (each V column group reads two pose blocks)
     AW = jnp.einsum(
-        "kba,kbr->kar", Vhat_s, Wv[prob.kp_i], precision=_DEFP
-    ) + jnp.einsum("kba,kbr->kar", Vhat_t, Wv[prob.kp_j], precision=_DEFP)
+        "kba,kbr->kar", Vhat_s, Wv[kp_i], precision=_DEFP
+    ) + jnp.einsum("kba,kbr->kar", Vhat_t, Wv[kp_j], precision=_DEFP)
     C = jnp.eye(3 * K, dtype=dtype) - AW.reshape(3 * K, 3 * K)
     c0 = (
-        jnp.einsum("kba,kb->ka", Vhat_s, w0[prob.kp_i], precision=_DEFP)
-        + jnp.einsum("kba,kb->ka", Vhat_t, w0[prob.kp_j], precision=_DEFP)
+        jnp.einsum("kba,kb->ka", Vhat_s, w0[kp_i], precision=_DEFP)
+        + jnp.einsum("kba,kb->ka", Vhat_t, w0[kp_j], precision=_DEFP)
     ).reshape(-1)
     Lc = jnp.linalg.cholesky(0.5 * (C + C.T))
     y = jax.scipy.linalg.cho_solve((Lc, True), c0)
@@ -275,12 +292,17 @@ def _finish_trial(poses, lms, err, lam, delta_p, cg_k,
     return poses, lms, err, lam, cg_k
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "kp_cfg"))
+@functools.partial(jax.jit, static_argnames=("cfg", "kp_cfg", "k_direct_cols"))
 def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg, lam0=None,
-                  stall0=None):
+                  stall0=None, k_direct_cols: int | None = None):
     """LM with per-trial Schur-eliminated linear solves; returns
     (poses, landmarks, BAInfo).  ``lam0`` / ``stall0`` resume LM damping and
-    the stall-exit counter from a checkpoint (:mod:`..checkpoint`)."""
+    the stall-exit counter from a checkpoint (:mod:`..checkpoint`).
+
+    ``k_direct_cols`` (static): leading factor slots that carry Woodbury
+    columns in the "direct" path — callers that know the padding tail is
+    invalid (build_ba_problem appends it) pass the bucketed valid count to
+    trim the multi-RHS width; None = all K slots."""
     P = prob.poses0.t.shape[0]
     dtype = prob.poses0.t.dtype
     err0 = _ba_error(prob.poses0, prob.lm0, prob, kp_cfg, cfg.huber_delta)
@@ -430,7 +452,8 @@ def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg, lam0=None,
 
         if precond_kind == "direct":
             delta_p = _direct_ba_step(
-                prob, g_red, U_chain, D_p, L_ll, Hpl_s, Hpl_t, lam, P, K_pad
+                prob, g_red, U_chain, D_p, L_ll, Hpl_s, Hpl_t, lam, P, K_pad,
+                k_cols=k_direct_cols,
             )
             cg_k = jnp.asarray(0, jnp.int32)
             return _finish_trial(

@@ -29,16 +29,22 @@ from diasss_tpu.synthetic import make_survey
 
 
 def main():
+    import jax
+
+    print(f"devices: {jax.devices()}", flush=True)  # tunnel acquisition probe
     survey = make_survey(n_lines=20, n_pings=600, n_bins=512, n_landmarks=60)
     frames = build_keyframes_batch(
         [(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
          for l in survey.lines],
         host_preprocess=True,
     )
+    print("frames built", flush=True)
     gt = [l.gt_poses for l in survey.lines]
 
-    for stride in (0, 4, 8, 16):
-        for iters in (10, 15, 30):
+    for stride, iters in ((0, 30), (8, 15), (8, 30), (16, 30), (0, 15)):
+        if True:
+            print(f"compiling stride={stride} iters={iters} ...",
+                  flush=True)
             cfg = PipelineConfig()
             cfg = dataclasses.replace(
                 cfg,

@@ -125,6 +125,23 @@ if args.seq_poses:
         f"{dt:.1f} s  ({Pn / dt:,.0f} poses/s per solve)"
     )
 
+    # distributed EXACT direct step (SPIKE chain factorization, zero CG) at
+    # the same point — the r4 replacement for the SP PCG burn (VERDICT r3
+    # item 2); A/B'd against the PCG row above
+    import dataclasses as _dc
+
+    cfg_d = _dc.replace(cfg, preconditioner="direct")
+    poses_d, info_d = seq_pose_graph_solve(mesh, graph, cfg_d)
+    jax.block_until_ready(poses_d.t)
+    t0 = time.perf_counter()
+    poses_d, info_d = seq_pose_graph_solve(mesh, graph, cfg_d)
+    jax.block_until_ready(poses_d.t)
+    dt_d = time.perf_counter() - t0
+    print(
+        f"SP long-mission DIRECT (SPIKE): {int(info_d.iterations)} LM iters, zero CG: "
+        f"{dt_d:.1f} s  ({Pn / dt_d:,.0f} poses/s per solve; PCG row above {dt:.1f} s)"
+    )
+
     # Full-BA long-mission point (VERDICT r2 item 2's done criterion): the
     # owner-aligned SP full BA at a pose count beyond one device's replicated
     # chain, correspondences sharded + routed (no O(P) collective anywhere).

@@ -163,3 +163,52 @@ def test_fully_automatic_pipeline_improves():
     )
     r = run_slam(frames, cfg, gt_rows_list=[l.gt_poses for l in survey.lines], run_eval2=False)
     assert r.ate_est < r.ate_dr, (r.ate_dr, r.ate_est)
+
+
+def test_direct_step_k_cols_trimming_equivalent(tie_survey):
+    """k_direct_cols trims the Woodbury width to the (bucketed) valid count;
+    the trimmed and full-width direct solves must be identical (padding
+    columns are exactly zero)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diasss_tpu.config import KeypointNoiseConfig
+    from diasss_tpu.pipeline import _assemble_pairs, _overlap_pairs
+    from diasss_tpu.solvers.full_ba import build_ba_problem, solve_full_ba
+
+    frames = [
+        build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes,
+                       l.ground_ranges, l.annos)
+        for l in tie_survey.lines
+    ]
+    cfg = dataclasses.replace(PipelineConfig(), min_overlap=0.1)
+    pair_ids = _overlap_pairs(frames, cfg.min_overlap)
+    kps_pairs, _ = _assemble_pairs(frames, None, pair_ids, cfg, use_anno=True)
+    prob = build_ba_problem(frames, kps_pairs, pair_ids, cfg.full_ba, cfg.pose_graph)
+    # append an invalid tail so the trim is guaranteed non-trivial
+    pad = 128
+
+    def zpad(a):
+        return jnp.concatenate([a, jnp.zeros((pad, *a.shape[1:]), a.dtype)])
+
+    prob = prob._replace(
+        kp_i=zpad(prob.kp_i), kp_j=zpad(prob.kp_j),
+        kp_sr_s=jnp.concatenate([prob.kp_sr_s, jnp.ones(pad, jnp.float32)]),
+        kp_sr_t=jnp.concatenate([prob.kp_sr_t, jnp.ones(pad, jnp.float32)]),
+        kp_valid=jnp.concatenate([prob.kp_valid, jnp.zeros(pad, bool)]),
+        lm0=zpad(prob.lm0), lm_prior=zpad(prob.lm_prior),
+    )
+    n_valid = int(np.asarray(prob.kp_valid).sum())
+    k_cols = min(int(prob.kp_i.shape[0]), max(128, -(-n_valid // 128) * 128))
+    assert k_cols < int(prob.kp_i.shape[0])  # the trim is non-trivial here
+
+    ba = dataclasses.replace(cfg.full_ba, preconditioner="direct", max_iters=8)
+    kp_cfg = KeypointNoiseConfig()
+    p_full, l_full, i_full = solve_full_ba(prob, ba, kp_cfg)
+    p_trim, l_trim, i_trim = solve_full_ba(prob, ba, kp_cfg, k_direct_cols=k_cols)
+    # the trimmed width changes f32 reduction order inside the chain solve;
+    # agreement is to accumulated-ulp level (measured max ~5e-5 over 8 trials)
+    np.testing.assert_allclose(np.asarray(p_trim.t), np.asarray(p_full.t), atol=1e-3)
+    assert abs(float(i_trim.error) - float(i_full.error)) < 1e-3 * max(
+        float(i_full.error), 1.0
+    )
