@@ -54,6 +54,11 @@ class SlamResult:
     solve_error0: float
     solve_error: float
     timings: Dict[str, float]
+    # True when the global solve exited on its iteration cap while STILL
+    # improving (stall counter 0) — accuracy is being left on the table;
+    # raise max_gn_iters/max_iters or enable coarse_init_stride (VERDICT r3
+    # weak #2: the 12k-pose survey converts iterations into ATE past the cap)
+    solve_capped: bool = False
 
     def frame_poses(self, f: int) -> se3.Pose3:
         return self.poses[self.frame_slices[f]]
@@ -69,6 +74,7 @@ class SlamResult:
             "pings_per_sec": round(total_pings / wall, 1) if wall > 0 else float("nan"),
             "solve_seconds": round(solve_t, 3),
             "n_loop_closures": self.n_lc_accepted,
+            "solve_capped": self.solve_capped,
         }
 
 
@@ -690,6 +696,9 @@ def run_slam(
             save_poses_quat(f"{out_dir}/dr_poses.txt", dr_all)
             save_poses_quat(f"{out_dir}/est_poses.txt", poses)
 
+    max_it = cfg.full_ba.max_iters if cfg.estimator == "full_ba" else cfg.pose_graph.max_gn_iters
+    stall_f = int(np.asarray(info.stall)) if getattr(info, "stall", None) is not None else 2
+    solve_capped = int(np.asarray(info.iterations)) >= max_it and stall_f == 0
     result = SlamResult(
         poses=poses,
         frame_slices=frame_slices,
@@ -703,6 +712,7 @@ def run_slam(
         solve_error0=float(info.error0),
         solve_error=float(info.error),
         timings=timings,
+        solve_capped=solve_capped,
     )
     if out_dir is not None:
         from .dumps import write_reference_dumps
