@@ -67,7 +67,10 @@ class SlamResult:
         """Derived throughput counters (SURVEY §5 tracing row)."""
         total_pings = int(self.poses.t.shape[0])
         solve_t = self.timings.get("pose_graph", 0.0) + self.timings.get("full_ba", 0.0)
-        wall = sum(self.timings.values())
+        # the timings dict also carries path COUNTERS (match_stacked_pairs,
+        # eval_perpair_pairs, ...); only stage TIMES belong in the wall
+        wall = sum(v for k, v in self.timings.items()
+                   if not (k.endswith("_pairs") or k.endswith("_devices")))
         return {
             "total_pings": total_pings,
             "wall_seconds": round(wall, 3),

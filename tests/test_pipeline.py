@@ -275,3 +275,40 @@ def test_ring_matcher_reachable_from_run_slam():
     np.testing.assert_allclose(
         np.asarray(r_ring.poses.t), np.asarray(r_stacked.poses.t), atol=1e-3
     )
+
+
+def test_summary_excludes_path_counters_and_reports_cap(small_survey):
+    """SlamResult.summary(): path counters (integer counts sharing the
+    timings dict) must not inflate wall_seconds; solve_capped reports
+    iteration-cap exits."""
+    import dataclasses
+
+    from diasss_tpu.config import DetectorConfig, MatcherConfig, PoseGraphConfig
+
+    frames = [
+        build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes,
+                       l.ground_ranges, l.annos)
+        for l in small_survey.lines
+    ]
+    # detected path -> counters present in timings
+    cfg = dataclasses.replace(
+        PipelineConfig(),
+        min_overlap=0.1,
+        detector=DetectorConfig(n_features=256),
+        pose_graph=dataclasses.replace(PoseGraphConfig(), use_anno=False),
+    )
+    r = run_slam(frames, cfg, run_eval2=False)
+    assert any(k.endswith("_pairs") for k in r.timings)
+    s = r.summary()
+    times_only = sum(v for k, v in r.timings.items()
+                     if not (k.endswith("_pairs") or k.endswith("_devices")))
+    assert abs(s["wall_seconds"] - round(times_only, 3)) < 1e-6
+    assert "solve_capped" in s
+
+    # a 1-iteration cap on a non-trivial solve must report capped
+    cfg_cap = dataclasses.replace(
+        PipelineConfig(),
+        pose_graph=dataclasses.replace(PoseGraphConfig(), max_gn_iters=1),
+    )
+    r_cap = run_slam(frames, cfg_cap, run_eval2=False)
+    assert r_cap.solve_capped
