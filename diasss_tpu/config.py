@@ -101,11 +101,16 @@ class MatcherConfig:
     # defeated by near-duplicate neighbors of the true match; excluding the
     # best's spatial neighborhood restores its discriminative meaning.
     ratio_excl_radius: float = 0.0
-    # Multi-chip: per-pair NN searches route through the ring-pass kernel
+    # Multi-chip: NN searches route through the ring-pass kernel
     # (parallel/ring.py, reference blocks rotated with ppermute) when a
     # pipeline mesh is configured AND the keypoint capacity is at least this
     # — below it the (K, K) block fits one chip and the ring's n-step
-    # ppermute latency only costs.
+    # ppermute latency only costs.  With a mesh set, capacities >= this also
+    # bypass the STACKED whole-survey dispatch (its (pairs, K, K) distance
+    # tensor is exactly what the ring shards).  4096 is the measured
+    # crossover (8-device mesh, 128-d descriptors, scripts/ring_crossover.py
+    # + PERF.md round 4): ring loses at K=2048 (1.26x slower — collective
+    # overhead), wins 1.64x at K=4096 and 2.04x at K=8192.
     ring_min_kps: int = 4096
 
 
