@@ -174,20 +174,36 @@ def main():
           f"    timings {r12k['timings']}", file=sys.stderr)
 
     # --- flagship estimator: joint Schur BA on a crossing survey (4200
-    # poses, direct Woodbury step) — throughput AND accuracy of record ---
-    ba_cfg = dataclasses.replace(PipelineConfig(), min_overlap=0.1, estimator="full_ba")
-    rba = run(n_lines=5, n_tie_lines=2, n_landmarks=300, n_passes=2,
-              cfg=ba_cfg, with_gt=True)
-    print(f"full_ba: {rba['pings_per_sec']:.0f} pings/s  ate {rba['ate_dr']:.2f}->{rba['ate_est']:.2f}\n"
-          f"    timings {rba['timings']}", file=sys.stderr)
+    # poses, direct Woodbury step) — throughput AND accuracy of record.
+    # Guarded: a failure in the beyond-reference entries must never cost the
+    # driver the headline JSON line ---
+    nan = float("nan")
+    rba = dict(pings_per_sec=nan, ate_est=nan, ate_dr=nan, timings={})
+    try:
+        ba_cfg = dataclasses.replace(PipelineConfig(), min_overlap=0.1, estimator="full_ba")
+        rba = run(n_lines=5, n_tie_lines=2, n_landmarks=300, n_passes=2,
+                  cfg=ba_cfg, with_gt=True)
+        print(f"full_ba: {rba['pings_per_sec']:.0f} pings/s  ate {rba['ate_dr']:.2f}->{rba['ate_est']:.2f}\n"
+              f"    timings {rba['timings']}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"full_ba bench FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 
     # --- fully-automatic pipeline (ZERO annotations): detect -> dense
     # world-correlation match -> joint BA + drift-compensated re-match ---
-    rauto = run(n_lines=3, n_pings=400, n_tie_lines=1, n_landmarks=200,
-                n_passes=2, cfg=automatic_config(), with_gt=True,
-                drift_xy=0.006, seed=7)
-    print(f"auto: {rauto['pings_per_sec']:.0f} pings/s  ate {rauto['ate_dr']:.2f}->{rauto['ate_est']:.2f}\n"
-          f"    timings {rauto['timings']}", file=sys.stderr)
+    rauto = dict(pings_per_sec=nan, ate_est=nan, ate_dr=nan, timings={})
+    try:
+        rauto = run(n_lines=3, n_pings=400, n_tie_lines=1, n_landmarks=200,
+                    n_passes=2, cfg=automatic_config(), with_gt=True,
+                    drift_xy=0.006, seed=7)
+        print(f"auto: {rauto['pings_per_sec']:.0f} pings/s  ate {rauto['ate_dr']:.2f}->{rauto['ate_est']:.2f}\n"
+              f"    timings {rauto['timings']}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"auto bench FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+
+    def rnd(x, n=3):
+        # NaN marks a failed optional section; emit null, not bare NaN (which
+        # is not valid strict JSON for downstream parsers)
+        return round(x, n) if x == x else None
 
     # best of 2: the proxy's pings/s moves with host CPU state; the faster
     # run is the fairest statement of the reference's capability
@@ -213,13 +229,13 @@ def main():
                 "timings_sum_frac_12k": round(r12k["timings_sum_frac"], 3),
                 "ate_12k": round(r12k["ate_est"], 3),
                 "ate_dr_12k": round(r12k["ate_dr"], 3),
-                "value_full_ba": round(rba["pings_per_sec"], 2),
-                "vs_baseline_full_ba": round(rba["pings_per_sec"] / baseline_ba, 3),
-                "ate_full_ba": round(rba["ate_est"], 3),
-                "ate_dr_full_ba": round(rba["ate_dr"], 3),
-                "value_auto": round(rauto["pings_per_sec"], 2),
-                "ate_auto": round(rauto["ate_est"], 3),
-                "ate_dr_auto": round(rauto["ate_dr"], 3),
+                "value_full_ba": rnd(rba["pings_per_sec"], 2),
+                "vs_baseline_full_ba": rnd(rba["pings_per_sec"] / baseline_ba),
+                "ate_full_ba": rnd(rba["ate_est"]),
+                "ate_dr_full_ba": rnd(rba["ate_dr"]),
+                "value_auto": rnd(rauto["pings_per_sec"], 2),
+                "ate_auto": rnd(rauto["ate_est"]),
+                "ate_dr_auto": rnd(rauto["ate_dr"]),
                 # detected-path stage profile (detect/matching/full_ba...)
                 "timings_auto": {k: round(v, 3) for k, v in rauto["timings"].items()},
             }
