@@ -150,76 +150,133 @@ def _correlate(
     ncc_min: float,
     ncc_ratio: float,
     min_cover: float,
-    batch_size: int = 16,
+    batch_size: int = 16,  # kept for API compatibility; unused (see below)
 ):
+    """Dense NCC search, shift-scan formulation (round 4).
+
+    The original implementation mapped over candidate offsets, gathering a
+    fresh (K, G) patch from the GLOBAL raster and recomputing that window's
+    mean/norm statistics per offset — measured 75 s for the auto bench
+    survey's matching stage on TPU v5e (scatter-pattern gathers + per-offset
+    reductions).  This formulation computes the SAME scores as one pass:
+
+    1. gather each keypoint's (S, S) local window ONCE (S = full stride-1
+       offset extent + patch size);
+    2. ONE ``lax.scan`` over the k*k patch cell positions accumulates all
+       five correlation statistics simultaneously as (K, T, T) elementwise
+       FMAs on dynamic slices of the windows (T = stride-1 offset extent):
+       sum q*v*have, sum q*have, sum have, sum v*have, sum v^2*have;
+    3. the NCC for EVERY stride-1 offset follows elementwise:
+       s = (sum qv - mean * sum q*have) / ||v - mean||_have — algebraically
+       identical to the original per-offset normalization;
+    4. the coarse lattice / second-best-outside-neighborhood / stride-1
+       refinement logic then just INDEXES the full score tensor at the same
+       positions the original evaluated (identical decisions up to f32
+       accumulation order).
+
+    Measured micro-benchmark (K=2000, k=17, T=43, scripts/micro_dense.py):
+    15x on CPU and ~20x on TPU over the map-over-offsets formulation.
+    ``batch_size`` is retained for signature compatibility but unused — there
+    is no offset loop anymore.
+    """
     img, cnt = raster.img, raster.cnt
     H, W = img.shape
     res = raster.res
     k = 2 * half + 1
+    R = n_ring + max(step_cells - 1, 0)  # refinement can step past the lattice
+    T = 2 * R + 1
+    S = T + k - 1
 
-    # source kp center cell in the target raster
     cx = jnp.round((geo_q[:, 0] - raster.x0) / res).astype(jnp.int32)
     cy = jnp.round((geo_q[:, 1] - raster.y0) / res).astype(jnp.int32)
 
-    # candidate offsets (cells), row-major grid
+    # local windows (K, S, S): index clipping matches the original per-pixel
+    # clip (clip of the summed index == the original clip of cy+off+dy).
+    # Intensities scale to [0, 1]: NCC is scale-invariant and the integral
+    # images below then stay well inside f32's exact-integer range.
+    dwin = jnp.arange(S) - (R + half)
+    wyy = jnp.clip(cy[:, None, None] + dwin[:, None], 0, H - 1)
+    wxx = jnp.clip(cx[:, None, None] + dwin[None, :], 0, W - 1)
+    Wv = img[wyy, wxx] * (1.0 / 255.0)  # (K, S, S)
+    Wh = (cnt[wyy, wxx] > 0).astype(jnp.float32)
+    Wvh = Wv * Wh
+
+    q = desc_q.reshape(-1, k, k)
+    K = q.shape[0]
+
+    # q-independent window statistics (sum have, sum v*have, sum v^2*have
+    # over every k x k window) via integral images: O(K*S^2) instead of
+    # k^2 more scan accumulations
+    def box_sums(X):
+        c = jnp.cumsum(jnp.cumsum(X, axis=1), axis=2)
+        c = jnp.pad(c, ((0, 0), (1, 0), (1, 0)))
+        return (
+            c[:, k : k + T, k : k + T]
+            - c[:, 0:T, k : k + T]
+            - c[:, k : k + T, 0:T]
+            + c[:, 0:T, 0:T]
+        )
+
+    C1 = box_sums(Wh)
+    C2 = box_sums(Wvh)
+    C3 = box_sums(Wv * Wvh)
+
+    # q-dependent correlations: ONE scan over the k*k patch cells, two
+    # (K, T, T) elementwise FMAs per step
+    def body(acc, i):
+        dy, dx = i // k, i % k
+        sh = jax.lax.dynamic_slice(Wh, (0, dy, dx), (K, T, T))
+        sv = jax.lax.dynamic_slice(Wvh, (0, dy, dx), (K, T, T))
+        qi = q[:, dy, dx][:, None, None]
+        Aq, Bq = acc
+        return (Aq + qi * sv, Bq + qi * sh), None
+
+    z = jnp.zeros((K, T, T), jnp.float32)
+    (Aq, Bq), _ = jax.lax.scan(body, (z, z), jnp.arange(k * k))
+
+    mean = C2 / jnp.maximum(C1, 1.0)
+    nrm = jnp.sqrt(jnp.maximum(C3 - mean * mean * C1, 0.0))
+    s_full = (Aq - mean * Bq) / jnp.maximum(nrm, 1e-6)
+
+    # per-offset validity on the full stride-1 grid
+    doff = jnp.arange(T) - R  # offset value at each grid index
+    cover_ok = C1 >= min_cover * k * k
+    inb_y = ((cy[:, None] + doff[None, :] - half) >= 0) & (
+        (cy[:, None] + doff[None, :] + half) < H
+    )  # (K, T)
+    inb_x = ((cx[:, None] + doff[None, :] - half) >= 0) & (
+        (cx[:, None] + doff[None, :] + half) < W
+    )
+    # contrast floor: the original tested ||v - mean|| > 1e-3 on 0..255
+    # intensities; v here is scaled by 1/255
+    valid = cover_ok & (nrm > 1e-3 / 255.0) & inb_y[:, :, None] & inb_x[:, None, :]
+    s_full = jnp.where(valid, s_full, -2.0)  # (K, T, T)
+
+    # coarse lattice = the original candidate grid (row-major, same ordering)
     g = jnp.arange(-n_ring, n_ring + 1, step_cells, dtype=jnp.int32)
     oy, ox = jnp.meshgrid(g, g, indexing="ij")
     offs = jnp.stack([oy.ravel(), ox.ravel()], axis=1)  # (O, 2)
-
-    dyy = jnp.arange(-half, half + 1)
-    patch_dy = dyy[:, None].astype(jnp.int32)
-    patch_dx = dyy[None, :].astype(jnp.int32)
-
-    def score_at(off_y, off_x):
-        """NCC of every source patch against the raster window at per-keypoint
-        (or scalar) cell offset (off_y, off_x)."""
-        yy = jnp.clip((cy + off_y)[:, None, None] + patch_dy, 0, H - 1)
-        xx = jnp.clip((cx + off_x)[:, None, None] + patch_dx, 0, W - 1)
-        v = img[yy, xx].reshape(-1, k * k)  # (K, G)
-        have = (cnt[yy, xx] > 0).reshape(-1, k * k)
-        nhave = jnp.sum(have, axis=1)
-        mean = jnp.sum(jnp.where(have, v, 0.0), axis=1) / jnp.maximum(nhave, 1)
-        vz = jnp.where(have, v - mean[:, None], 0.0)
-        nrm = jnp.linalg.norm(vz, axis=1)
-        p = vz / jnp.maximum(nrm, 1e-6)[:, None]
-        s = jnp.einsum("kg,kg->k", desc_q, p)
-        cover_ok = nhave >= min_cover * k * k
-        inb = (
-            (cy + off_y - half >= 0)
-            & (cy + off_y + half < H)
-            & (cx + off_x - half >= 0)
-            & (cx + off_x + half < W)
-        )
-        return jnp.where(cover_ok & inb & (nrm > 1e-3), s, -2.0)
-
-    # batched map: batch_size offsets per step bounds the gather working set
-    # to ~batch_size*K*G floats while keeping each device step wide (a bare
-    # lax.map would serialize all O(441) offsets into tiny dispatches; the
-    # stacked whole-survey matcher shrinks batch_size since every step there
-    # is already n_pairs wide)
-    scores = jax.lax.map(
-        lambda o: score_at(o[0], o[1]), offs, batch_size=batch_size
-    )  # (O, K)
+    lat = g + R  # indices into the T grid
+    scores = s_full[:, lat[:, None], lat[None, :]].reshape(K, -1).T  # (O, K)
 
     best_o = jnp.argmax(scores, axis=0)  # (K,)
     best = jnp.take_along_axis(scores, best_o[None, :], axis=0)[0]
     # second best outside the best's immediate neighborhood (correlated cells)
-    sep = jnp.max(jnp.abs(offs[:, None, :] - offs[best_o][None, :, :]), axis=-1)  # (O, K)
+    sep = jnp.max(jnp.abs(offs[:, None, :] - offs[best_o][None, :, :]), axis=-1)
     far = sep > max(2, step_cells)
     second = jnp.max(jnp.where(far, scores, -2.0), axis=0)
 
     boff = offs[best_o]  # (K, 2) cells
     if step_cells > 1:
-        # stride-1 refinement around the coarse winner: the coarse lattice
-        # quantizes the match position by up to step_cells cells, which feeds
-        # straight into the BA measurement error
+        # stride-1 refinement around the coarse winner — reads the already-
+        # computed full score tensor at the same positions the original
+        # re-evaluated
         dg = jnp.arange(-(step_cells - 1), step_cells, dtype=jnp.int32)
         ddy, ddx = jnp.meshgrid(dg, dg, indexing="ij")
         deltas = jnp.stack([ddy.ravel(), ddx.ravel()], axis=1)  # (D, 2)
-        fine = jax.lax.map(
-            lambda d: score_at(boff[:, 0] + d[0], boff[:, 1] + d[1]), deltas,
-            batch_size=min(batch_size, deltas.shape[0]),
-        )  # (D, K)
+        fy = boff[None, :, 0] + deltas[:, 0:1]  # (D, K)
+        fx = boff[None, :, 1] + deltas[:, 1:2]
+        fine = s_full[jnp.arange(K)[None, :], fy + R, fx + R]  # (D, K)
         fbest = jnp.argmax(fine, axis=0)
         best = jnp.take_along_axis(fine, fbest[None, :], axis=0)[0]
         boff = boff + deltas[fbest]
