@@ -700,8 +700,16 @@ def run_slam(
             save_poses_quat(f"{out_dir}/est_poses.txt", poses)
 
     max_it = cfg.full_ba.max_iters if cfg.estimator == "full_ba" else cfg.pose_graph.max_gn_iters
-    stall_f = int(np.asarray(info.stall)) if getattr(info, "stall", None) is not None else 2
-    solve_capped = int(np.asarray(info.iterations)) >= max_it and stall_f == 0
+    # ONE batched fetch for the solve-info scalars (each np.asarray is a full
+    # round trip on remote-dispatch setups)
+    stall_dev = getattr(info, "stall", None)
+    fetched = jax.device_get(
+        (info.error0, info.error, info.iterations)
+        + ((stall_dev,) if stall_dev is not None else ())
+    )
+    err0_h, err_h, iters_h = fetched[:3]
+    stall_f = int(fetched[3]) if stall_dev is not None else 2
+    solve_capped = int(iters_h) >= max_it and stall_f == 0
     result = SlamResult(
         poses=poses,
         frame_slices=frame_slices,
@@ -712,8 +720,8 @@ def run_slam(
         eval2=eval2,
         ate_dr=ate_dr,
         ate_est=ate_est,
-        solve_error0=float(info.error0),
-        solve_error=float(info.error),
+        solve_error0=float(err0_h),
+        solve_error=float(err_h),
         timings=timings,
         solve_capped=solve_capped,
     )
