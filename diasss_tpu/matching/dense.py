@@ -221,18 +221,26 @@ def _correlate(
     C2 = box_sums(Wvh)
     C3 = box_sums(Wv * Wvh)
 
-    # q-dependent correlations: ONE scan over the k*k patch cells, two
-    # (K, T, T) elementwise FMAs per step
-    def body(acc, i):
-        dy, dx = i // k, i % k
-        sh = jax.lax.dynamic_slice(Wh, (0, dy, dx), (K, T, T))
-        sv = jax.lax.dynamic_slice(Wvh, (0, dy, dx), (K, T, T))
-        qi = q[:, dy, dx][:, None, None]
-        Aq, Bq = acc
-        return (Aq + qi * sv, Bq + qi * sh), None
+    # q-dependent correlations.  On TPU: a Pallas kernel keeps each
+    # 128-keypoint block's windows AND accumulators VMEM-resident for all
+    # k*k steps (read-once/write-once HBM traffic; dense_pallas.py —
+    # measured vs the scan below on v5e).  Elsewhere: ONE scan over the
+    # k*k patch cells, two (K, T, T) elementwise FMAs per step.
+    if jax.default_backend() == "tpu":
+        from .dense_pallas import qcorr_pallas
 
-    z = jnp.zeros((K, T, T), jnp.float32)
-    (Aq, Bq), _ = jax.lax.scan(body, (z, z), jnp.arange(k * k))
+        Aq, Bq = qcorr_pallas(Wvh, Wh, desc_q, k, T)
+    else:
+        def body(acc, i):
+            dy, dx = i // k, i % k
+            sh = jax.lax.dynamic_slice(Wh, (0, dy, dx), (K, T, T))
+            sv = jax.lax.dynamic_slice(Wvh, (0, dy, dx), (K, T, T))
+            qi = q[:, dy, dx][:, None, None]
+            Aq, Bq = acc
+            return (Aq + qi * sv, Bq + qi * sh), None
+
+        z = jnp.zeros((K, T, T), jnp.float32)
+        (Aq, Bq), _ = jax.lax.scan(body, (z, z), jnp.arange(k * k))
 
     mean = C2 / jnp.maximum(C1, 1.0)
     nrm = jnp.sqrt(jnp.maximum(C3 - mean * mean * C1, 0.0))

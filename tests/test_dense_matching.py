@@ -278,3 +278,39 @@ class TestDenseMatchingMesh:
             np.testing.assert_allclose(out[key][1], ref[key][1])
             total += ref[key][2]
         assert total > 20
+
+
+def test_qcorr_pallas_matches_scan():
+    """The Pallas correlation kernel (TPU path of _correlate) must agree with
+    the XLA scan fallback — interpret mode on CPU, same accumulation order."""
+    import jax
+    import jax.numpy as jnp
+
+    from diasss_tpu.matching.dense_pallas import qcorr_pallas
+
+    K, k, T = 70, 17, 43
+    S = T + k - 1
+    rng = np.random.default_rng(3)
+    Wv = jnp.asarray(rng.normal(0, 1, (K, S, S)), jnp.float32)
+    Wh = jnp.asarray((rng.uniform(size=(K, S, S)) > 0.1).astype(np.float32))
+    Wvh = Wv * Wh
+    q = jnp.asarray(rng.normal(0, 1, (K, k * k)), jnp.float32)
+
+    def scan_ref():
+        qr = q.reshape(K, k, k)
+
+        def body(acc, i):
+            dy, dx = i // k, i % k
+            sh = jax.lax.dynamic_slice(Wh, (0, dy, dx), (K, T, T))
+            sv = jax.lax.dynamic_slice(Wvh, (0, dy, dx), (K, T, T))
+            qi = qr[:, dy, dx][:, None, None]
+            return (acc[0] + qi * sv, acc[1] + qi * sh), None
+
+        z = jnp.zeros((K, T, T), jnp.float32)
+        (A, B), _ = jax.lax.scan(body, (z, z), jnp.arange(k * k))
+        return A, B
+
+    A0, B0 = scan_ref()
+    A1, B1 = qcorr_pallas(Wvh, Wh, q, k, T, interpret=True)
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(A0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(B1), np.asarray(B0), atol=2e-5)
