@@ -444,15 +444,31 @@ def dense_matching_stacked(
     shapes = [raster_shape(g, res) for g in geo_list]
     H = max(s[0] for s in shapes)
     W = max(s[1] for s in shapes)
-    rasters = [
-        world_raster(nm, g, res, shape=(H, W)) for nm, g in zip(norm_list, geo_list)
-    ]
-    rimg = jnp.stack([r.img for r in rasters])
-    rcnt = jnp.stack([r.cnt for r in rasters])
-    rping = jnp.stack([r.ping for r in rasters])
-    rcol = jnp.stack([r.col for r in rasters])
-    x0s = jnp.asarray([r.x0 for r in rasters], jnp.float32)
-    y0s = jnp.asarray([r.y0 for r in rasters], jnp.float32)
+    if len({tuple(g.shape) for g in geo_list}) == 1:
+        # same-shape survey: ONE vmapped rasterization program for all
+        # frames (the per-frame loop cost a dispatch per frame — measured
+        # 0.55 s of the 3 s stacked round at the auto bench point)
+        geo_st = jnp.stack(list(geo_list))
+        norm_st = jnp.stack(list(norm_list))
+        gx = np.asarray(geo_st[..., 0]).reshape(F, -1)
+        gy = np.asarray(geo_st[..., 1]).reshape(F, -1)
+        x0s_np = (gx.min(axis=1) - 2.0).astype(np.float32)
+        y0s_np = (gy.min(axis=1) - 2.0).astype(np.float32)
+        rimg, rcnt, rping, rcol = jax.vmap(
+            lambda nm, g, x0, y0: _rasterize(nm, g, x0, y0, res, W, H)
+        )(norm_st, geo_st, jnp.asarray(x0s_np), jnp.asarray(y0s_np))
+        x0s = jnp.asarray(x0s_np)
+        y0s = jnp.asarray(y0s_np)
+    else:
+        rasters = [
+            world_raster(nm, g, res, shape=(H, W)) for nm, g in zip(norm_list, geo_list)
+        ]
+        rimg = jnp.stack([r.img for r in rasters])
+        rcnt = jnp.stack([r.cnt for r in rasters])
+        rping = jnp.stack([r.ping for r in rasters])
+        rcol = jnp.stack([r.col for r in rasters])
+        x0s = jnp.asarray([r.x0 for r in rasters], jnp.float32)
+        y0s = jnp.asarray([r.y0 for r in rasters], jnp.float32)
 
     geo_kps = jnp.stack(
         [
