@@ -370,7 +370,7 @@ def _smooth_filter(kp_geo: np.ndarray, tgt_geo: np.ndarray, ok: np.ndarray, cfg:
     jax.jit,
     static_argnames=(
         "res", "half", "n_ring", "step_cells", "ncc_min", "ncc_ratio", "min_cover",
-        "radius", "min_neighbors", "tol", "batch_size",
+        "radius", "min_neighbors", "tol",
     ),
 )
 def _dense_pairs_program(
@@ -389,7 +389,6 @@ def _dense_pairs_program(
     radius: float,
     min_neighbors: int,
     tol: float,
-    batch_size: int,
 ):
     """ALL gated pairs' dense correlation + displacement-field filter as ONE
     device program (vmap over the pair axis).  Replaces the per-pair host loop
@@ -405,7 +404,7 @@ def _dense_pairs_program(
         dm = _correlate(
             desc_q, ok_q & kp_valid[s], geo_kp, rt,
             half=half, n_ring=n_ring, step_cells=step_cells, ncc_min=ncc_min,
-            ncc_ratio=ncc_ratio, min_cover=min_cover, batch_size=batch_size,
+            ncc_ratio=ncc_ratio, min_cover=min_cover,
         )
         keep = _smooth_filter_dev(
             geo_kp, dm.tgt_geo, dm.ok,
@@ -503,17 +502,12 @@ def dense_matching_stacked(
         )
 
     n_ring = int(np.ceil(cfg.search_radius / res))
-    # each lax.map step inside _correlate is already n_pairs wide when
-    # stacked — shrink the per-step offset batch to bound the gather working
-    # set at roughly the per-pair path's size
-    batch = max(1, 16 // max(len(pair_ids), 1))
     dm, keep = _dense_pairs_program(
         rimg, rcnt, rping, rcol, x0s, y0s, geo_kps, kp_valid, si, ti,
         res=res, half=det_cfg.geopatch_half, n_ring=n_ring,
         step_cells=cfg.step_cells, ncc_min=cfg.ncc_min, ncc_ratio=cfg.ncc_ratio,
         min_cover=cfg.min_cover, radius=float(cfg.smooth_radius),
         min_neighbors=int(cfg.smooth_min_neighbors), tol=float(cfg.smooth_tol),
-        batch_size=batch,
     )
     # ONE batched transfer for the whole survey (incl. all frames' kp coords —
     # the per-pair np.asarray(xy) fetch cost a round trip per pair)
