@@ -82,18 +82,34 @@ def reference_stream_proxy(n_pings: int = 3000) -> float:
     return n_pings / dt
 
 
-def _sync_uploads(frames):
-    """Force completion of the async host->device uploads: one tiny slice per
-    uploaded tensor, fetched in ONE batched device_get (device execution is
-    in-order, so these waits cover every earlier enqueued transfer).  Through
-    the axon tunnel ``block_until_ready`` does NOT synchronize — a value
-    fetch is the only reliable barrier."""
-    import jax
+_probe_jit = None
 
-    probes = []
+
+def _sync_uploads(frames):
+    """Force completion of the async host->device uploads: ONE jitted probe
+    program touching every uploaded tensor, ONE scalar fetch (device
+    execution is in-order, so the wait covers every earlier enqueued
+    transfer).  Through the axon tunnel ``block_until_ready`` does NOT
+    synchronize — a value fetch is the only reliable barrier — and
+    per-tensor probe ops are each their own dispatch (60 dispatches at the
+    12k point measured ~1 s of added wall before this was fused)."""
+    global _probe_jit
+    import jax
+    import jax.numpy as jnp
+
+    if _probe_jit is None:
+        @jax.jit
+        def _probe(*arrs):
+            acc = jnp.float32(0)
+            for a in arrs:
+                acc = acc + a.ravel()[0].astype(jnp.float32)
+            return acc
+
+        _probe_jit = _probe
+    arrs = []
     for f in frames:
-        probes += [f.norm[0, 0], f.mask[0, 0], f.geo[0, 0, 0]]
-    jax.device_get(probes)
+        arrs += [f.norm, f.mask, f.geo]
+    float(_probe_jit(*arrs))
 
 
 def run(n_lines=5, n_pings=600, n_bins=512, n_landmarks=60, n_passes=3,
