@@ -701,12 +701,17 @@ def run_slam(
 
     max_it = cfg.full_ba.max_iters if cfg.estimator == "full_ba" else cfg.pose_graph.max_gn_iters
     # ONE batched fetch for the solve-info scalars (each np.asarray is a full
-    # round trip on remote-dispatch setups)
+    # round trip on remote-dispatch setups).  Timed: through the tunnel
+    # ``block_until_ready`` does not synchronize, so this BLOCKING fetch
+    # absorbs any still-running async tail of the solve — untimed it would
+    # hide wall from the profile (bench's sum-to-wall contract).
+    t0 = time.perf_counter()
     stall_dev = getattr(info, "stall", None)
     fetched = jax.device_get(
         (info.error0, info.error, info.iterations)
         + ((stall_dev,) if stall_dev is not None else ())
     )
+    timings["result_fetch"] = time.perf_counter() - t0
     err0_h, err_h, iters_h = fetched[:3]
     stall_f = int(fetched[3]) if stall_dev is not None else 2
     solve_capped = int(iters_h) >= max_it and stall_f == 0
