@@ -156,10 +156,11 @@ def run(n_lines=5, n_pings=600, n_bins=512, n_landmarks=60, n_passes=3,
     # +-10% run to run; the minimum is the honest steady-state capability
     # (per-pass walls ride the JSON so the variance itself is recorded)
     wall, result, stage = min(passes, key=lambda p: p[0])
-    # path COUNTERS (match_stacked_pairs etc.) ride the same dict as the
-    # stage TIMES; only the times belong in the wall-coverage fraction
+    # path COUNTERS (match_stacked_pairs, solver_*_solves, ...) ride the same
+    # dict as the stage TIMES; only the times belong in the wall fraction
     t_only = {k: v for k, v in stage.items()
-              if not (k.endswith("_pairs") or k.endswith("_devices"))}
+              if not (k.endswith("_pairs") or k.endswith("_devices")
+                      or k.endswith("_solves"))}
     return dict(
         pings_per_sec=total_pings / wall,
         wall=wall,
@@ -183,8 +184,10 @@ def main():
           f"sum_frac {r3k['timings_sum_frac']:.2f}  ate {r3k['ate_dr']:.2f}->{r3k['ate_est']:.2f}\n"
           f"    timings {r3k['timings']}", file=sys.stderr)
 
-    # --- 12k-pose stress point (BASELINE config 4 scale) ---
-    r12k = run(n_lines=20, n_passes=2, with_gt=True)
+    # --- 12k-pose stress point (BASELINE config 4 scale).  n_passes=3 so
+    # min-of-N is meaningful against the +-23% tunnel variance recorded in
+    # BENCH_r04's wall_samples_12k (VERDICT r4 weak #7) ---
+    r12k = run(n_lines=20, n_passes=3, with_gt=True)
     print(f"12k: {r12k['pings_per_sec']:.0f} pings/s  walls {['%.2f' % w for w in r12k['walls']]}  "
           f"sum_frac {r12k['timings_sum_frac']:.2f}  ate {r12k['ate_dr']:.2f}->{r12k['ate_est']:.2f}\n"
           f"    timings {r12k['timings']}", file=sys.stderr)
@@ -221,6 +224,15 @@ def main():
         # is not valid strict JSON for downstream parsers)
         return round(x, n) if x == x else None
 
+    def solver_kinds(r):
+        """Which linear solver(s) actually ran (solver_<kind>_solves counters
+        recorded by the pipeline — VERDICT r4 item 3: the trace-time
+        direct/dense_seg fallback must be driver-visible)."""
+        ks = sorted(k[len("solver_"):-len("_solves")]
+                    for k in r.get("timings", {}) if k.startswith("solver_")
+                    and k.endswith("_solves"))
+        return ",".join(ks) if ks else None
+
     # best of 2: the proxy's pings/s moves with host CPU state; the faster
     # run is the fairest statement of the reference's capability
     baseline = max(reference_stream_proxy(), reference_stream_proxy())
@@ -252,6 +264,10 @@ def main():
                 "value_auto": rnd(rauto["pings_per_sec"], 2),
                 "ate_auto": rnd(rauto["ate_est"]),
                 "ate_dr_auto": rnd(rauto["ate_dr"]),
+                "solver_3k": solver_kinds(r3k),
+                "solver_12k": solver_kinds(r12k),
+                "solver_full_ba": solver_kinds(rba),
+                "solver_auto": solver_kinds(rauto),
                 # detected-path stage profile (detect/matching/full_ba...)
                 "timings_auto": {k: round(v, 3) for k, v in rauto["timings"].items()},
             }

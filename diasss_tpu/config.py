@@ -110,7 +110,10 @@ class MatcherConfig:
     # tensor is exactly what the ring shards).  4096 is the measured
     # crossover (8-device mesh, 128-d descriptors, scripts/ring_crossover.py
     # + PERF.md round 4): ring loses at K=2048 (1.26x slower — collective
-    # overhead), wins 1.64x at K=4096 and 2.04x at K=8192.
+    # overhead), wins 1.64x at K=4096 and 2.04x at K=8192.  CAVEAT: the
+    # ring side of that table ran on the 8-device VIRTUAL CPU mesh (one
+    # physical TPU chip in this environment) — the crossover on real ICI is
+    # an extrapolation and should be re-measured on multi-chip hardware.
     ring_min_kps: int = 4096
 
 

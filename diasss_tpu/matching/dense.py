@@ -136,7 +136,7 @@ class DenseMatches(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "half", "n_ring", "step_cells", "ncc_min", "ncc_ratio", "min_cover", "batch_size"
+        "half", "n_ring", "step_cells", "ncc_min", "ncc_ratio", "min_cover"
     ),
 )
 def _correlate(
@@ -150,7 +150,6 @@ def _correlate(
     ncc_min: float,
     ncc_ratio: float,
     min_cover: float,
-    batch_size: int = 16,  # kept for API compatibility; unused (see below)
 ):
     """Dense NCC search, shift-scan formulation (round 4).
 
@@ -174,10 +173,19 @@ def _correlate(
        positions the original evaluated (identical decisions up to f32
        accumulation order).
 
-    Measured micro-benchmark (K=2000, k=17, T=43, scripts/micro_dense.py):
-    15x on CPU and ~20x on TPU over the map-over-offsets formulation.
-    ``batch_size`` is retained for signature compatibility but unused — there
-    is no offset loop anymore.
+    Measured micro-benchmark (K=2000, k=17, T=43, scripts/micro_dense.py +
+    PERF.md round 4): 10,425 ms -> 108 ms (~96x) on TPU v5e and ~15x on CPU
+    over the map-over-offsets formulation.
+
+    Memory envelope (the map-over-offsets version was batch-bounded; this one
+    is not): per pair the program holds the (K, S, S) window gathers (x3:
+    values/have/masked) and ~7 (K, T, T) f32 score/statistic tensors, S = T +
+    2*half, T = 2*(n_ring + step_cells - 1) + 1.  At the defaults (K=2000,
+    half=8, n_ring=20, step=2) that is ~28 MB + ~52 MB per pair; the stacked
+    whole-survey program (``_dense_pairs_program``) multiplies by the gated
+    pair count.  Surveys whose pairs * K * S^2 would not fit HBM should route
+    per-pair (``stacked=False``) — at bench scale (6 pairs) the stacked
+    working set is ~0.5 GB of a 16 GB chip.
     """
     img, cnt = raster.img, raster.cnt
     H, W = img.shape

@@ -105,6 +105,40 @@ def _pad_chain(graph: PoseGraph, n: int):
     return poses0, odo_meas, B, P_pad, P_real
 
 
+def resolve_seq_pg_solver_kind(preconditioner: str, B: int, L: int) -> str:
+    """Trace-time resolution of the SP pose-graph linear-solve kind — the
+    single source of truth shared by the jitted solver and observability
+    callers (VERDICT r4 item 3).  "direct" on the mesh = the SPIKE exact
+    chain factorization."""
+    kind = preconditioner
+    if kind == "auto":
+        if jax.default_backend() == "tpu":
+            mem_ok = B * 6 * (6 * L + 1) * 4 * 3 < 4e9
+            kind = "direct" if (L <= 1024 and mem_ok and B >= 2) else "dense_seg"
+        else:
+            kind = "tridiag"
+    if kind == "direct" and B < 2:
+        kind = "tridiag"  # SPIKE needs >= 2 rows per device
+    return kind
+
+
+def resolve_seq_ba_solver_kind(preconditioner: str, B: int, n: int, Kf: int) -> str:
+    """Trace-time resolution of the SP full-BA linear-solve kind (see
+    resolve_seq_pg_solver_kind); the capacitance width is 3 per GLOBAL
+    (padded) correspondence slot, so the guard uses n * Kf."""
+    kind = preconditioner
+    if kind == "auto":
+        if jax.default_backend() == "tpu":
+            Kg = n * Kf
+            mem_ok = B * 6 * (3 * Kg + 1) * 4 * 3 < 4e9
+            kind = "direct" if (Kg <= 1024 and mem_ok and B >= 2) else "dense_seg"
+        else:
+            kind = "tridiag"
+    if kind == "direct" and B < 2:
+        kind = "tridiag"  # SPIKE needs >= 2 rows per device
+    return kind
+
+
 def _pcg_dist(matvec, b, precond, tol, max_iters, dot):
     """PCG with a caller-supplied (psum-reducing) inner product."""
     x0 = jnp.zeros_like(b)
@@ -142,7 +176,6 @@ def _seq_pg_run(poses0, odo_meas, lc_i, lc_j, lc_meas, lc_sigmas, lc_valid,
                 odo_sigmas, lam0, stall0, mesh: Mesh, cfg: PoseGraphConfig,
                 axis: str, B: int, P_real: int):
     n = mesh.devices.size
-    deg_pairs = None  # silence linters
 
     perm_from_next = [((i + 1) % n, i) for i in range(n)]  # recv block d+1's row
     perm_to_next = [(i, (i + 1) % n) for i in range(n)]    # send boundary term fwd
@@ -220,17 +253,7 @@ def _seq_pg_run(poses0, odo_meas, lc_i, lc_j, lc_meas, lc_sigmas, lc_valid,
         # chain factorization (tridiag.spike_block_tridiag_multi) — replaces
         # PCG outright under the same guards as the single-device solver
         # (the per-device multi-RHS buffers are (B, 6, 6L+1), n-fold smaller).
-        precond_kind = cfg.preconditioner
-        if precond_kind == "auto":
-            if jax.default_backend() == "tpu":
-                mem_ok = B * 6 * (6 * L + 1) * 4 * 3 < 4e9
-                precond_kind = (
-                    "direct" if (L <= 1024 and mem_ok and B >= 2) else "dense_seg"
-                )
-            else:
-                precond_kind = "tridiag"
-        if precond_kind == "direct" and B < 2:
-            precond_kind = "tridiag"  # SPIKE needs >= 2 rows per device
+        precond_kind = resolve_seq_pg_solver_kind(cfg.preconditioner, B, L)
 
         def direct_step(g_blk, D, D_chain, Ji, Jj, Jli, Jlj, lam):
             """EXACT damped LM step, distributed: the chain factorization is
@@ -352,7 +375,7 @@ def _seq_pg_run(poses0, odo_meas, lc_i, lc_j, lc_meas, lc_sigmas, lc_valid,
 
             if precond_kind == "direct":
                 delta = direct_step(g_blk, D, D_chain, Ji, Jj, Jli, Jlj, lam)
-                cg_k = jnp.asarray(1, jnp.int32)
+                cg_k = jnp.asarray(0, jnp.int32)  # direct = zero CG, all paths
                 new_poses = se3.retract(poses_blk, delta)
                 new_poses = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(
@@ -526,7 +549,14 @@ def seq_pose_graph_solve(mesh: Mesh, graph: PoseGraph,
         graph.lc_i, graph.lc_j, graph.lc_meas, graph.lc_sigmas, graph.lc_valid,
         graph.odo_sigmas, lam_init, stall_init, mesh, cfg, axis, B, P_real,
     )
-    return poses_pad[:P_real], info
+    # solver-kind observability: the trace-time resolution cannot ride out of
+    # the jitted solver, so the (non-jit) wrapper attaches it here with the
+    # SAME resolver the solver used ("sp_" = sequence-parallel mesh path;
+    # sp_direct = SPIKE exact chain factorization)
+    kind = resolve_seq_pg_solver_kind(
+        cfg.preconditioner, B, int(graph.lc_i.shape[0])
+    )
+    return poses_pad[:P_real], info._replace(solver_kind="sp_" + kind)
 
 
 # ---------------------------------------------------------------------------
@@ -710,16 +740,7 @@ def _seq_ba_run(poses0, odo_meas, odo_sigmas,
     # the exact direct Woodbury step of the Schur-reduced system runs on the
     # mesh via the SPIKE chain factorization; the capacitance width is 3 per
     # GLOBAL (padded) correspondence slot, so the guard uses n * Kf.
-    precond_kind = cfg.preconditioner
-    if precond_kind == "auto":
-        if jax.default_backend() == "tpu":
-            Kg = n * Kf
-            mem_ok = B * 6 * (3 * Kg + 1) * 4 * 3 < 4e9
-            precond_kind = "direct" if (Kg <= 1024 and mem_ok and B >= 2) else "dense_seg"
-        else:
-            precond_kind = "tridiag"
-    if precond_kind == "direct" and B < 2:
-        precond_kind = "tridiag"  # SPIKE needs >= 2 rows per device
+    precond_kind = resolve_seq_ba_solver_kind(cfg.preconditioner, B, n, Kf)
 
     def solve_blk(poses0_blk, odo_blk, odo_sigmas,
                   loc_i_b, slot_b, sr_s_b, sr_t_b, kv_b, lm0_b, lmp_b,
@@ -1203,4 +1224,7 @@ def seq_full_ba_solve(mesh: Mesh, prob: BAProblem,
     lms = np.array(np.asarray(prob.lm0), copy=True)
     occupied = out_orig >= 0
     lms[out_orig[occupied]] = to_host(lms_aligned)[occupied]
-    return poses_pad[:P_real], jnp.asarray(lms), info
+    kind = resolve_seq_ba_solver_kind(cfg.preconditioner, B, n, Kf)
+    return poses_pad[:P_real], jnp.asarray(lms), info._replace(
+        solver_kind="sp_" + kind
+    )

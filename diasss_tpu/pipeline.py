@@ -68,9 +68,11 @@ class SlamResult:
         total_pings = int(self.poses.t.shape[0])
         solve_t = self.timings.get("pose_graph", 0.0) + self.timings.get("full_ba", 0.0)
         # the timings dict also carries path COUNTERS (match_stacked_pairs,
-        # eval_perpair_pairs, ...); only stage TIMES belong in the wall
+        # eval_perpair_pairs, solver_*_solves, ...); only stage TIMES belong
+        # in the wall
         wall = sum(v for k, v in self.timings.items()
-                   if not (k.endswith("_pairs") or k.endswith("_devices")))
+                   if not (k.endswith("_pairs") or k.endswith("_devices")
+                           or k.endswith("_solves")))
         return {
             "total_pings": total_pings,
             "wall_seconds": round(wall, 3),
@@ -533,8 +535,20 @@ def _solve_two_stage(frames, geo_list, kps_pairs, pair_ids, cap, cfg, timings):
         from .parallel.seq import seq_pose_graph_solve
 
         poses, info = seq_pose_graph_solve(mesh, graph, cfg.pose_graph)
+        kind = info.solver_kind
     else:
         poses, info = solve_pose_graph(graph, cfg.pose_graph)
+        from .solvers.pose_graph import resolve_pg_solver_kind
+
+        kind = resolve_pg_solver_kind(
+            cfg.pose_graph.preconditioner,
+            int(graph.poses0.t.shape[0]),
+            int(graph.lc_i.shape[0]),
+        )
+    # solver-kind counter (mirrors match_stacked_pairs): the trace-time
+    # direct/dense_seg/tridiag resolution must never regress silently
+    # (VERDICT r4 item 3); "_solves"-suffixed keys are counters, not times
+    timings[f"solver_{kind}_solves"] = timings.get(f"solver_{kind}_solves", 0) + 1
     jax.block_until_ready(poses.t)
     timings["pose_graph"] = timings.get("pose_graph", 0.0) + time.perf_counter() - t0
     return poses, info, lc_results, n_acc
@@ -580,6 +594,7 @@ def _solve_full_ba(frames, geo_list, kps_pairs, pair_ids, cfg, init_poses, it, t
         from .parallel.seq import seq_full_ba_solve
 
         poses, lms, info = seq_full_ba_solve(mesh, prob, ba_cfg, cfg.kp_noise)
+        kind = info.solver_kind
     else:
         # direct-path width trimming: build_ba_problem appends its padding at
         # the tail, so the Woodbury columns can stop at the 128-bucketed valid
@@ -588,6 +603,15 @@ def _solve_full_ba(frames, geo_list, kps_pairs, pair_ids, cfg, init_poses, it, t
         k_cols = min(int(prob.kp_i.shape[0]), max(128, -(-n_valid // 128) * 128))
         poses, lms, info = solve_full_ba(prob, ba_cfg, cfg.kp_noise,
                                          k_direct_cols=k_cols)
+        from .solvers.full_ba import resolve_ba_solver_kind
+
+        kind = resolve_ba_solver_kind(
+            ba_cfg.preconditioner,
+            int(prob.poses0.t.shape[0]),
+            int(prob.kp_i.shape[0]),
+        )
+    # solver-kind counter — see _solve_two_stage (VERDICT r4 item 3)
+    timings[f"solver_{kind}_solves"] = timings.get(f"solver_{kind}_solves", 0) + 1
     jax.block_until_ready(poses.t)
     timings["full_ba"] = timings.get("full_ba", 0.0) + time.perf_counter() - t0
     return poses, info, n_valid
@@ -663,13 +687,15 @@ def run_slam(
         if it + 1 < n_iters:
             geo_list = _estimated_geo(frames, poses)
 
-    # --- evaluation (C18) — always against the original DR geo ---
+    # --- evaluation (C18) — always against the original DR geo.  The DR
+    # fetch is a real device->host transfer and belongs inside the timed
+    # span (VERDICT r4 item 7: ~0.1 s of unattributed 3k wall) ---
+    t0 = time.perf_counter()
     offsets = np.cumsum([0] + [int(f.dr_poses.shape[0]) for f in frames])
     frame_slices = [slice(int(offsets[k]), int(offsets[k + 1])) for k in range(len(frames))]
     (dr_h,) = _fetch_frame_arrays_host(frames, range(len(frames)), attrs=("dr_poses",))
     dr_rows = [dr_h[k] for k in range(len(frames))]
 
-    t0 = time.perf_counter()
     eval1, eval2 = _evaluate_pairs(
         frames, kps_pairs, pair_ids, poses, frame_slices, offsets, cfg, run_eval2,
         timings=timings,

@@ -67,6 +67,24 @@ class SolveInfo(NamedTuple):
     grad_norm: jnp.ndarray
     lam: jnp.ndarray = None  # final LM damping (resume/checkpoint state)
     stall: jnp.ndarray = None  # consecutive no-improvement trials (resume state)
+    # resolved linear-solve kind (see full_ba.BAInfo.solver_kind): trace-time
+    # static, attached by non-jit wrappers / computed by callers via
+    # resolve_pg_solver_kind — never inside the jitted solver.
+    solver_kind: str = None
+
+
+def resolve_pg_solver_kind(preconditioner: str, P: int, L_lc: int) -> str:
+    """Trace-time resolution of ``PoseGraphConfig.preconditioner`` — single
+    source of truth for the "auto" policy, shared by :func:`solve_pose_graph`
+    and observability callers (VERDICT r4 item 3)."""
+    kind = preconditioner
+    if kind == "auto":
+        if jax.default_backend() == "tpu":
+            mem_ok = P * 6 * (6 * L_lc + 1) * 4 * 3 < 4e9  # V+B+W transients
+            kind = "direct" if (L_lc <= 1024 and mem_ok) else "dense_seg"
+        else:
+            kind = "tridiag"
+    return kind
 
 
 def _whitened_residuals(poses: se3.Pose3, graph: PoseGraph):
@@ -414,7 +432,9 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig(),
                 deltas = _direct_lm_step_multi(
                     graph, idx_i, idx_j, Ji, Jj, g, D, lams, P, L_lc
                 )
-                cg_k = jnp.asarray(1, jnp.int32)
+                # direct = zero CG iterations (convention unified across all
+                # direct paths — full BA, SP pose graph, SP full BA)
+                cg_k = jnp.asarray(0, jnp.int32)
 
                 def apply_delta(delta):
                     new_poses = se3.retract(poses, delta)
@@ -545,24 +565,18 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig(),
             ),
         )
 
-    kind = cfg.preconditioner
-    if kind == "auto":
-        # trace-time platform choice (see PoseGraphConfig.preconditioner).
-        # TPU: the exact direct Woodbury chain step wins outright at survey
-        # scale — measured P=3000/L=5 on v5e (scripts/profile_direct.py,
-        # round 3): direct 99 ms (12 LM trials, ZERO CG) vs dense_seg PCG
-        # 1793 ms (11 LM, 2252 CG), identical optimum (49.7 vs 49.69).
-        # Guard: the Woodbury multi-RHS buffers are (P, 6, 6L+1) floats and
-        # the capacitance Cholesky is (6L)^3 — beyond ~1k LC factors the PCG
-        # path's memory profile is safer, so "auto" falls back to dense_seg
-        # there (pick "direct" explicitly to override).
-        # Round-2 notes (still true for the PCG family): jacobi 0.77 s but
-        # stalls at err 4.3e-3; jacobi->dense hybrid tried and REJECTED.
-        if jax.default_backend() == "tpu":
-            mem_ok = P * 6 * (6 * L_lc + 1) * 4 * 3 < 4e9  # V+B+W transients
-            kind = "direct" if (L_lc <= 1024 and mem_ok) else "dense_seg"
-        else:
-            kind = "tridiag"
+    # trace-time platform choice (see resolve_pg_solver_kind).  TPU: the
+    # exact direct Woodbury chain step wins outright at survey scale —
+    # measured P=3000/L=5 on v5e (scripts/profile_direct.py, round 3):
+    # direct 99 ms (12 LM trials, ZERO CG) vs dense_seg PCG 1793 ms (11 LM,
+    # 2252 CG), identical optimum (49.7 vs 49.69).  Guard: the Woodbury
+    # multi-RHS buffers are (P, 6, 6L+1) floats and the capacitance Cholesky
+    # is (6L)^3 — beyond ~1k LC factors the PCG path's memory profile is
+    # safer, so "auto" falls back to dense_seg there (pick "direct"
+    # explicitly to override).  Round-2 notes (still true for the PCG
+    # family): jacobi 0.77 s but stalls at err 4.3e-3; jacobi->dense hybrid
+    # tried and REJECTED.
+    kind = resolve_pg_solver_kind(cfg.preconditioner, P, L_lc)
 
     lam_init = jnp.asarray(1e-4, dtype) if lam0 is None else jnp.asarray(lam0, dtype)
     stall_init = (

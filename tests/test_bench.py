@@ -25,7 +25,8 @@ def test_bench_run_annotation_path():
     assert "upload" in r["timings"]
     # counters must not pollute the coverage fraction
     t_only = {k: v for k, v in r["timings"].items()
-              if not (k.endswith("_pairs") or k.endswith("_devices"))}
+              if not (k.endswith("_pairs") or k.endswith("_devices")
+                      or k.endswith("_solves"))}
     assert abs(sum(t_only.values()) / r["wall"] - r["timings_sum_frac"]) < 1e-9
     # everything the JSON line carries must serialize
     json.dumps({k: v for k, v in r.items() if k != "timings"}, default=float)

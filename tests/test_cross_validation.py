@@ -211,8 +211,8 @@ class TestPoseGraphVsScipy:
         cfg = PoseGraphConfig(max_gn_iters=60, preconditioner=precond)
         poses_ours, info = solve_pose_graph(graph, cfg)
         if precond == "direct":
-            # the direct path takes exactly one "CG iteration" per LM trial
-            assert int(info.cg_iters_total) == int(info.iterations)
+            # direct = exact step, zero CG iterations (unified convention)
+            assert int(info.cg_iters_total) == 0
         cost_ours = float(info.error)
 
         resid, jac, P = _tangent_resid_pose_graph(graph)

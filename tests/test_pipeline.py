@@ -216,6 +216,21 @@ def test_host_preprocess_matches_device():
         # Allow that vanishing fraction instead of pinning exact equality.
         mdiff = np.asarray(d.mask) != np.asarray(h.mask)
         assert mdiff.mean() < 1e-3
+        # ...AND require every mismatch to be confined to the box dilation of
+        # a threshold-STRADDLING bright seed (|raw - mean*2.5| within f32
+        # reduction-order slack) — a dilation-logic bug would put mismatches
+        # away from straddling seeds and fail here (ADVICE r4 finding 3)
+        if mdiff.any():
+            from diasss_tpu.config import MaskConfig
+            from diasss_tpu.frame import _box_or_np
+
+            mcfg = MaskConfig()
+            raw32 = np.asarray(d.raw, np.float32)
+            thresh = raw32.mean(dtype=np.float32) * mcfg.bright_factor
+            straddle = np.abs(raw32 - thresh) <= 1e-4 * thresh
+            allowed = _box_or_np(straddle[None].astype(np.uint8),
+                                 mcfg.bright_radius)[0]
+            assert not (mdiff & ~allowed).any()
         np.testing.assert_allclose(np.asarray(d.geo), np.asarray(h.geo),
                                    rtol=0, atol=1e-4)
         # raw stays host-resident: no float32 raster rides the upload
@@ -301,7 +316,8 @@ def test_summary_excludes_path_counters_and_reports_cap(small_survey):
     assert any(k.endswith("_pairs") for k in r.timings)
     s = r.summary()
     times_only = sum(v for k, v in r.timings.items()
-                     if not (k.endswith("_pairs") or k.endswith("_devices")))
+                     if not (k.endswith("_pairs") or k.endswith("_devices")
+                             or k.endswith("_solves")))
     assert abs(s["wall_seconds"] - round(times_only, 3)) < 1e-6
     assert "solve_capped" in s
 
@@ -312,3 +328,31 @@ def test_summary_excludes_path_counters_and_reports_cap(small_survey):
     )
     r_cap = run_slam(frames, cfg_cap, run_eval2=False)
     assert r_cap.solve_capped
+
+
+def test_solver_kind_counter_and_forced_flip(slam_result, small_survey):
+    """VERDICT r4 item 3: the trace-time linear-solve resolution must be
+    observable.  On the CPU test backend "auto" resolves to tridiag PCG; the
+    counter must record exactly that, and FORCING a different kind must flip
+    the counter (so a silent fallback can never regress unnoticed)."""
+    import dataclasses
+
+    from diasss_tpu.config import PoseGraphConfig
+
+    # default ("auto") on the CPU test backend -> tridiag, one global solve
+    assert slam_result.timings.get("solver_tridiag_solves") == 1
+    assert not any(k.startswith("solver_") and k != "solver_tridiag_solves"
+                   for k in slam_result.timings)
+
+    frames = [
+        build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes,
+                       l.ground_ranges, l.annos)
+        for l in small_survey.lines
+    ]
+    cfg = dataclasses.replace(
+        PipelineConfig(),
+        pose_graph=dataclasses.replace(PoseGraphConfig(), preconditioner="jacobi"),
+    )
+    r = run_slam(frames, cfg, run_eval2=False)
+    assert r.timings.get("solver_jacobi_solves") == 1
+    assert "solver_tridiag_solves" not in r.timings

@@ -142,8 +142,8 @@ class TestDirectSolver:
         p_d, i_d = solve_pose_graph(g, cfg_d)
         np.testing.assert_allclose(np.asarray(p_d.t), np.asarray(p_p.t), atol=1e-3)
         assert abs(float(i_d.error) - float(i_p.error)) < 1e-2 * max(float(i_p.error), 1.0)
-        # exact step: one linear solve per LM trial, no CG iterations
-        assert int(i_d.cg_iters_total) == int(i_d.iterations)
+        # exact step: no CG iterations (unified direct convention)
+        assert int(i_d.cg_iters_total) == 0
 
     def test_chain_only_no_lc(self):
         """L=0 branch: pure block-tridiagonal solve, recovers the DR chain."""

@@ -86,8 +86,8 @@ class TestSeqPoseGraph:
         cfg = PoseGraphConfig(max_gn_iters=10, preconditioner="direct")
         poses_ref, info_ref = solve_pose_graph(g, cfg)
         poses_sp, info_sp = seq_pose_graph_solve(make_mesh(n_dev), g, cfg)
-        # zero CG iterations by construction (1 recorded per LM trial)
-        assert int(info_sp.cg_iters_total) == int(info_sp.iterations)
+        # zero CG iterations by construction (unified direct convention)
+        assert int(info_sp.cg_iters_total) == 0
         np.testing.assert_allclose(
             np.asarray(poses_sp.t), np.asarray(poses_ref.t), atol=2e-3
         )
