@@ -160,7 +160,8 @@ def run(n_lines=5, n_pings=600, n_bins=512, n_landmarks=60, n_passes=3,
     # dict as the stage TIMES; only the times belong in the wall fraction
     t_only = {k: v for k, v in stage.items()
               if not (k.endswith("_pairs") or k.endswith("_devices")
-                      or k.endswith("_solves"))}
+                      or k.endswith("_solves") or k.endswith("_cells")
+                      or k.endswith("_rounds"))}
     return dict(
         pings_per_sec=total_pings / wall,
         wall=wall,

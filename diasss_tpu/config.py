@@ -294,6 +294,25 @@ class PipelineConfig:
     rematch_iters: int = 0
     rematch_geo_radius: float = 3.0  # tighter gate once drift is compensated
     rematch_geo_discrepancy: float = 2.0  # full-BA gate on re-iterations
+    # Adaptive re-match search extent (round 5): after each solve, measure
+    # the 95th-percentile residual geo discrepancy of the current matches at
+    # the drift-compensated geo and shrink the next round's search radius to
+    # ``q95 * rematch_margin + 2 * geopatch_res`` (bucketed so shapes stay
+    # stable, capped at rematch_geo_radius; pipeline._rematch_plan).  The
+    # dense matcher's score/window tensors shrink quadratically with the
+    # extent — measured at the auto bench point the rounds >= 2 ran at the
+    # full radius while the residual was sub-meter.  Re-matching also STOPS
+    # early when a solve moves every pose by < half a raster cell (the
+    # recomputed geo, and therefore the matches, cannot change).
+    rematch_adaptive: bool = True
+    rematch_margin: float = 1.5
+    # Stop re-matching when the measured post-solve residual q95 falls to
+    # this many raster cells: both match endpoints are cell centers, so a
+    # CONVERGED estimate still shows ~2 cells of apparent discrepancy —
+    # below it further rounds chase quantization noise (measured at the auto
+    # bench point: the at-floor round cost ~2 s and moved ATE 0.494 -> 0.563,
+    # i.e. slightly HURT; pipeline._rematch_plan docstring).
+    rematch_stop_resid_cells: float = 2.0
     # Multi-chip execution: when set (and that many devices exist), the global
     # solves run sequence-parallel over an n-device mesh (parallel/seq.py:
     # pose chain block-partitioned, O(P/n)+halo per device).  None = one chip.

@@ -79,9 +79,36 @@ def raster_shape(geo, res: float, margin: float = 2.0):
     """(height, width) a frame's world raster needs, bucketed to x64."""
     gx = np.asarray(geo[..., 0])
     gy = np.asarray(geo[..., 1])
-    width = int(np.ceil((gx.max() + 2 * margin - gx.min()) / res)) + 1
-    height = int(np.ceil((gy.max() + 2 * margin - gy.min()) / res)) + 1
+    return _shape_from_bounds(gx.min(), gx.max(), gy.min(), gy.max(), res, margin)
+
+
+def _shape_from_bounds(xmin, xmax, ymin, ymax, res: float, margin: float):
+    width = int(np.ceil((xmax + 2 * margin - xmin) / res)) + 1
+    height = int(np.ceil((ymax + 2 * margin - ymin) / res)) + 1
     return int(np.ceil(height / 64) * 64), int(np.ceil(width / 64) * 64)
+
+
+@jax.jit
+def _geo_bounds_batch(geo_st: jnp.ndarray) -> jnp.ndarray:
+    """(F, N, M, 2) stacked geo -> (F, 4) [xmin, xmax, ymin, ymax].
+
+    One device reduction + a (F, 4) fetch replaces the full-geo host fetches
+    the stacked matcher used for raster sizing — ~10 MB/round through the
+    (tunneled) host<->device link at the auto bench point, measured ~0.7 s of
+    the ~1.5 s per-round non-program matching wall (PERF.md round 5)."""
+    x = geo_st[..., 0].reshape(geo_st.shape[0], -1)
+    y = geo_st[..., 1].reshape(geo_st.shape[0], -1)
+    return jnp.stack([x.min(axis=1), x.max(axis=1), y.min(axis=1), y.max(axis=1)], axis=1)
+
+
+@jax.jit
+def _geo_kps_batch(geo_st: jnp.ndarray, xy_st: jnp.ndarray) -> jnp.ndarray:
+    """(F, N, M, 2) geo + (F, K, 2) pixel coords -> (F, K, 2) world positions
+    in ONE program (the per-frame host loop cost 2 dispatches per frame)."""
+    N, M = geo_st.shape[1], geo_st.shape[2]
+    xi = jnp.clip(xy_st[..., 0].astype(jnp.int32), 0, M - 1)
+    yi = jnp.clip(xy_st[..., 1].astype(jnp.int32), 0, N - 1)
+    return jax.vmap(lambda g, yy, xx: g[yy, xx])(geo_st, yi, xi)
 
 
 def world_raster(
@@ -448,25 +475,37 @@ def dense_matching_stacked(
     """
     res = det_cfg.geopatch_res
     F = len(feats_list)
-    shapes = [raster_shape(g, res) for g in geo_list]
-    H = max(s[0] for s in shapes)
-    W = max(s[1] for s in shapes)
     if len({tuple(g.shape) for g in geo_list}) == 1:
         # same-shape survey: ONE vmapped rasterization program for all
         # frames (the per-frame loop cost a dispatch per frame — measured
-        # 0.55 s of the 3 s stacked round at the auto bench point)
+        # 0.55 s of the 3 s stacked round at the auto bench point), raster
+        # bounds from ONE device reduction + (F, 4) fetch (the full-geo host
+        # fetches previously used for sizing cost ~0.7 s/round through the
+        # tunnel — see _geo_bounds_batch)
         geo_st = jnp.stack(list(geo_list))
         norm_st = jnp.stack(list(norm_list))
-        gx = np.asarray(geo_st[..., 0]).reshape(F, -1)
-        gy = np.asarray(geo_st[..., 1]).reshape(F, -1)
-        x0s_np = (gx.min(axis=1) - 2.0).astype(np.float32)
-        y0s_np = (gy.min(axis=1) - 2.0).astype(np.float32)
+        # keep f32: x0/y0 must be bit-identical to the per-pair path's
+        # f32 `gx.min() - margin` (parity tests pin stacked == per-pair)
+        bb = np.asarray(_geo_bounds_batch(geo_st))  # (F, 4) f32
+        margin = np.float32(2.0)
+        shapes = [
+            _shape_from_bounds(bb[k, 0], bb[k, 1], bb[k, 2], bb[k, 3], res, margin)
+            for k in range(F)
+        ]
+        H = max(s[0] for s in shapes)
+        W = max(s[1] for s in shapes)
+        x0s_np = (bb[:, 0] - margin).astype(np.float32)
+        y0s_np = (bb[:, 2] - margin).astype(np.float32)
         rimg, rcnt, rping, rcol = jax.vmap(
             lambda nm, g, x0, y0: _rasterize(nm, g, x0, y0, res, W, H)
         )(norm_st, geo_st, jnp.asarray(x0s_np), jnp.asarray(y0s_np))
         x0s = jnp.asarray(x0s_np)
         y0s = jnp.asarray(y0s_np)
+        geo_kps = _geo_kps_batch(geo_st, jnp.stack([f.xy for f in feats_list]))
     else:
+        shapes = [raster_shape(g, res) for g in geo_list]
+        H = max(s[0] for s in shapes)
+        W = max(s[1] for s in shapes)
         rasters = [
             world_raster(nm, g, res, shape=(H, W)) for nm, g in zip(norm_list, geo_list)
         ]
@@ -476,16 +515,15 @@ def dense_matching_stacked(
         rcol = jnp.stack([r.col for r in rasters])
         x0s = jnp.asarray([r.x0 for r in rasters], jnp.float32)
         y0s = jnp.asarray([r.y0 for r in rasters], jnp.float32)
-
-    geo_kps = jnp.stack(
-        [
-            g[
-                jnp.clip(f.xy[:, 1].astype(jnp.int32), 0, g.shape[0] - 1),
-                jnp.clip(f.xy[:, 0].astype(jnp.int32), 0, g.shape[1] - 1),
+        geo_kps = jnp.stack(
+            [
+                g[
+                    jnp.clip(f.xy[:, 1].astype(jnp.int32), 0, g.shape[0] - 1),
+                    jnp.clip(f.xy[:, 0].astype(jnp.int32), 0, g.shape[1] - 1),
+                ]
+                for f, g in zip(feats_list, geo_list)
             ]
-            for f, g in zip(feats_list, geo_list)
-        ]
-    )
+        )
     kp_valid = jnp.stack([f.valid for f in feats_list])
     si = jnp.asarray([i for (i, j) in pair_ids], jnp.int32)
     ti = jnp.asarray([j for (i, j) in pair_ids], jnp.int32)

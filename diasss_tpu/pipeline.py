@@ -72,7 +72,8 @@ class SlamResult:
         # in the wall
         wall = sum(v for k, v in self.timings.items()
                    if not (k.endswith("_pairs") or k.endswith("_devices")
-                           or k.endswith("_solves")))
+                           or k.endswith("_solves") or k.endswith("_cells")
+                           or k.endswith("_rounds")))
         return {
             "total_pings": total_pings,
             "wall_seconds": round(wall, 3),
@@ -389,6 +390,105 @@ def _assemble_pairs(frames, corres_rows, pair_ids, cfg: PipelineConfig, use_anno
     return kps_pairs, cap
 
 
+@jax.jit
+def _match_residual_q95(rows_cat, valid_cat, src_cat, tgt_cat, geo_st):
+    """95th percentile of the post-solve geo discrepancy of the current
+    matches: ||geo_s[ping_s, bin_s] - geo_t[ping_t, bin_t]|| per valid row,
+    with geo recomputed from the ESTIMATED poses.  This is the measured
+    residual drift that the NEXT re-match round's search extent must cover —
+    the full drift-budget extent only pays for itself in round 1 (VERDICT r4
+    item 1: rounds >= 2 re-searched at the full radius for nothing).
+
+    rows_cat: (K, 7) Vector7 keypoint pairs (ping_s, bin_s, ..., ping_t,
+    bin_t, ...), concatenated over pairs; src/tgt_cat: (K,) frame indices;
+    geo_st: (F, N, M, 2).  Returns (q95, n_valid)."""
+    N, M = geo_st.shape[1], geo_st.shape[2]
+
+    def take(fidx, ping, binc):
+        return geo_st[
+            fidx,
+            jnp.clip(ping.astype(jnp.int32), 0, N - 1),
+            jnp.clip(binc.astype(jnp.int32), 0, M - 1),
+        ]
+
+    g1 = take(src_cat, rows_cat[:, 0], rows_cat[:, 1])
+    g2 = take(tgt_cat, rows_cat[:, 3], rows_cat[:, 4])
+    d = jnp.linalg.norm(g1 - g2, axis=1)
+    n = jnp.sum(valid_cat)
+    K = d.shape[0]
+    # masked quantile: invalid rows sort to the front as -1
+    s = jnp.sort(jnp.where(valid_cat, d, -1.0))
+    pos = (K - n) + jnp.clip((0.95 * n.astype(jnp.float32)).astype(jnp.int32),
+                             0, jnp.maximum(n - 1, 0))
+    return s[jnp.clip(pos, 0, K - 1)], n
+
+
+# Bucketed search extents (raster cells) for adaptive re-matching: the
+# measured residual rounds UP to one of these so small run-to-run residual
+# variations reuse compiled programs (a mid-bench recompile through the
+# tunnel would cost more than the search shrink saves).
+_REMATCH_RING_BUCKETS = (4, 8, 12, 16, 20, 28, 40)
+
+
+def _rematch_plan(poses, prev_t, kps_pairs, pair_ids, geo_new, cfg):
+    """Decide the next re-match round: (stop, radius_m, ring_cells, t_np).
+
+    * stop — either the last solve moved every pose by less than half a
+      raster cell (the recomputed geo, and therefore the matches, cannot
+      change), or — the criterion that actually fires in practice — the
+      measured post-solve residual discrepancy is already at the matcher's
+      QUANTIZATION floor (q95 <= rematch_stop_resid_cells * res): both match
+      endpoints are raster-cell centers, so each carries +-res/2 of rounding
+      and a converged estimate still shows ~2*res of apparent discrepancy.
+      Below the floor another round cannot add information — measured at the
+      auto bench point (TPU v5e, PERF.md round 5) the round-2 re-match
+      (q95 = 0.88 m <= 2 * 0.5 m) costs ~2 s of match+solve wall and moved
+      ATE 0.494 -> 0.563, i.e. it chased raster noise and slightly HURT.
+    * radius_m — adaptive search radius for the next round: the measured
+      residual (q95 over current matches at the drift-compensated geo) plus
+      a margin, bucketed (see _REMATCH_RING_BUCKETS) and capped at
+      cfg.rematch_geo_radius.  The search tensors shrink quadratically with
+      the extent (matching/dense.py memory envelope), so this is the round-5
+      headline matching-wall cut (12 -> 8 cells at the bench point).
+    """
+    res = cfg.detector.geopatch_res
+    t_np = np.asarray(poses.t)
+    if prev_t is not None:
+        delta = float(np.max(np.linalg.norm(t_np - prev_t, axis=1)))
+        if delta < 0.5 * res:
+            return True, None, None, t_np
+    radius = cfg.rematch_geo_radius
+    cells = int(np.ceil(radius / res))
+    if cfg.rematch_adaptive and kps_pairs:
+        if len({tuple(g.shape) for g in geo_new}) == 1:
+            rows_cat = np.concatenate([kps_pairs[k].pairs for k in pair_ids])
+            valid_cat = np.concatenate([kps_pairs[k].valid for k in pair_ids])
+            src_cat = np.concatenate(
+                [np.full(kps_pairs[(i, j)].pairs.shape[0], i, np.int32)
+                 for (i, j) in pair_ids]
+            )
+            tgt_cat = np.concatenate(
+                [np.full(kps_pairs[(i, j)].pairs.shape[0], j, np.int32)
+                 for (i, j) in pair_ids]
+            )
+            q95, n = jax.device_get(_match_residual_q95(
+                jnp.asarray(rows_cat), jnp.asarray(valid_cat),
+                jnp.asarray(src_cat), jnp.asarray(tgt_cat), jnp.stack(geo_new),
+            ))
+            if int(n) >= 8:  # enough support for the quantile to mean anything
+                if float(q95) <= cfg.rematch_stop_resid_cells * res:
+                    return True, None, None, t_np  # at the quantization floor
+                need = float(q95) * cfg.rematch_margin + 2.0 * res
+                need_cells = int(np.ceil(need / res))
+                for b in _REMATCH_RING_BUCKETS:
+                    if b >= need_cells:
+                        need_cells = b
+                        break
+                cells = min(cells, max(need_cells, _REMATCH_RING_BUCKETS[0]))
+                radius = cells * res
+    return False, radius, cells, t_np
+
+
 def _estimated_geo(frames, poses: se3.Pose3) -> List[jnp.ndarray]:
     """Recompute every frame's geo image from estimated poses (drift-compensated
     re-matching; same flat-floor projection as frame.cpp:126-165)."""
@@ -653,17 +753,38 @@ def run_slam(
     lc_results: Dict[Tuple[int, int], LCResult] = {}
     n_acc = 0
     kps_pairs: Dict[Tuple[int, int], KpsPairs] = {}
+    prev_t = None
     for it in range(n_iters):
         corres_rows = None
         if not use_anno:
             t0 = time.perf_counter()
             matcher_cfg = cfg.matcher
             if it > 0:
+                # post-solve re-match planning: recompute geo from the
+                # ESTIMATED poses, STOP when the solve moved nothing (the
+                # matches could not change), and shrink the search extent to
+                # the measured residual discrepancy (VERDICT r4 item 1 —
+                # rounds >= 2 used to re-search the full drift budget)
+                geo_new = _estimated_geo(frames, poses)
+                stop, radius, cells, t_np = _rematch_plan(
+                    poses, prev_t, kps_pairs, pair_ids, geo_new, cfg
+                )
+                prev_t = t_np
+                if stop:
+                    timings["rematch_converged_rounds"] = (
+                        timings.get("rematch_converged_rounds", 0) + (n_iters - it)
+                    )
+                    timings["matching"] = (
+                        timings.get("matching", 0.0) + time.perf_counter() - t0
+                    )
+                    break
+                geo_list = geo_new
+                timings[f"rematch_r{it}_ring_cells"] = cells
                 matcher_cfg = dataclasses.replace(
                     matcher_cfg,
-                    geo_radius=cfg.rematch_geo_radius,
+                    geo_radius=radius,
                     dense=dataclasses.replace(
-                        matcher_cfg.dense, search_radius=cfg.rematch_geo_radius
+                        matcher_cfg.dense, search_radius=radius
                     ),
                 )
             corres_rows = _match_pairs(
@@ -684,8 +805,6 @@ def run_slam(
             poses, info, lc_results, n_acc = _solve_two_stage(
                 frames, geo_list, kps_pairs, pair_ids, cap, cfg, timings
             )
-        if it + 1 < n_iters:
-            geo_list = _estimated_geo(frames, poses)
 
     # --- evaluation (C18) — always against the original DR geo.  The DR
     # fetch is a real device->host transfer and belongs inside the timed

@@ -26,7 +26,8 @@ def test_bench_run_annotation_path():
     # counters must not pollute the coverage fraction
     t_only = {k: v for k, v in r["timings"].items()
               if not (k.endswith("_pairs") or k.endswith("_devices")
-                      or k.endswith("_solves"))}
+                      or k.endswith("_solves") or k.endswith("_cells")
+                      or k.endswith("_rounds"))}
     assert abs(sum(t_only.values()) / r["wall"] - r["timings_sum_frac"]) < 1e-9
     # everything the JSON line carries must serialize
     json.dumps({k: v for k, v in r.items() if k != "timings"}, default=float)

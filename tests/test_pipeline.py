@@ -317,7 +317,8 @@ def test_summary_excludes_path_counters_and_reports_cap(small_survey):
     s = r.summary()
     times_only = sum(v for k, v in r.timings.items()
                      if not (k.endswith("_pairs") or k.endswith("_devices")
-                             or k.endswith("_solves")))
+                             or k.endswith("_solves") or k.endswith("_cells")
+                             or k.endswith("_rounds")))
     assert abs(s["wall_seconds"] - round(times_only, 3)) < 1e-6
     assert "solve_capped" in s
 
