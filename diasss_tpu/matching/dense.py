@@ -131,25 +131,74 @@ def world_raster(
     return WorldRaster(img, cnt, ping, col, x0, y0, res)
 
 
+def _window_slices(img: jnp.ndarray, cnt: jnp.ndarray, cy, cx, ext: int, size: int):
+    """(K, size, size) windows of ``img``/``cnt`` centered-ish at (cy, cx)
+    with element-clip (border replication) semantics, as edge-padded
+    ``vmap(dynamic_slice)`` reads.
+
+    The obvious fancy-index gather ``img[cy + dy, cx + dx]`` lowers to a
+    per-ELEMENT XLA gather — measured ~14 ns/element on TPU v5e, 1.7 s for
+    the stacked matcher's 84 M window elements, i.e. ~90% of the whole dense
+    program (PERF.md round 5).  ``dynamic_slice`` of an edge-padded raster
+    produces IDENTICAL values 20x faster.
+
+    Padding is 2*ext per side so the equivalence holds for every center in
+    [-ext, H+ext): padded[(cy + d) + 2*ext] == img[clip(cy + d, 0, H-1)] for
+    all |d| <= ext (edge padding IS the clip).  Centers further out than
+    that hit dynamic_slice's internal start clamp and read shifted garbage —
+    but for those, EVERY candidate offset's patch is out of bounds, so the
+    callers' in-bounds validity masks exclude them from any decision.
+
+    ``ext`` = max |offset| from the center; ``size`` = window rows (= cols);
+    requires size == 2*ext + 1 (rows center-ext .. center+ext).
+    """
+    img_p = jnp.pad(img, 2 * ext, mode="edge")
+    cnt_p = jnp.pad(cnt, 2 * ext, mode="edge")
+    # padded start = (center - ext) + 2*ext; dynamic_slice clamps internally
+    y0 = cy + ext
+    x0 = cx + ext
+
+    def one(y, x):
+        return (
+            jax.lax.dynamic_slice(img_p, (y, x), (size, size)),
+            jax.lax.dynamic_slice(cnt_p, (y, x), (size, size)),
+        )
+
+    return jax.vmap(one)(y0, x0)
+
+
 @functools.partial(jax.jit, static_argnames=("half", "min_cover"))
 def _raster_patches(raster: WorldRaster, geo_kp: jnp.ndarray, half: int, min_cover: float):
     """(K, (2*half+1)^2) mean-free unit patches read from a frame's own world
     raster at each keypoint's cell, + validity (coverage & contrast)."""
-    H, W = raster.img.shape
     cx = jnp.round((geo_kp[:, 0] - raster.x0) / raster.res).astype(jnp.int32)
     cy = jnp.round((geo_kp[:, 1] - raster.y0) / raster.res).astype(jnp.int32)
-    d = jnp.arange(-half, half + 1)
-    yy = jnp.clip(cy[:, None, None] + d[:, None], 0, H - 1)
-    xx = jnp.clip(cx[:, None, None] + d[None, :], 0, W - 1)
     k = 2 * half + 1
-    v = raster.img[yy, xx].reshape(-1, k * k)
-    have = (raster.cnt[yy, xx] > 0).reshape(-1, k * k)
+    vw, cw = _window_slices(raster.img, raster.cnt, cy, cx, half, k)
+    v = vw.reshape(-1, k * k)
+    have = (cw > 0).reshape(-1, k * k)
     nh = jnp.sum(have, axis=1)
     mean = jnp.sum(jnp.where(have, v, 0.0), axis=1) / jnp.maximum(nh, 1)
     vz = jnp.where(have, v - mean[:, None], 0.0)
     nrm = jnp.linalg.norm(vz, axis=1)
     desc = vz / jnp.maximum(nrm, 1e-6)[:, None]
     return desc, (nh >= min_cover * k * k) & (nrm > 1e-3)
+
+
+def _split_parity_planes(W: jnp.ndarray, s: int, Sp: int) -> jnp.ndarray:
+    """(K, S, S) windows -> (s*s, Sp, Sp, K) zero-padded parity planes;
+    plane p*s+q = W[:, p::s, q::s] (trim-then-pad to Sp).  Serves the
+    lattice-path XLA scan in :func:`_correlate`."""
+    planes = []
+    for py in range(s):
+        for px in range(s):
+            pl_ = jnp.transpose(W[:, py::s, px::s], (1, 2, 0))[:Sp, :Sp]
+            pl_ = jnp.pad(
+                pl_,
+                ((0, Sp - pl_.shape[0]), (0, Sp - pl_.shape[1]), (0, 0)),
+            )
+            planes.append(pl_)
+    return jnp.stack(planes)
 
 
 class DenseMatches(NamedTuple):
@@ -163,7 +212,8 @@ class DenseMatches(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "half", "n_ring", "step_cells", "ncc_min", "ncc_ratio", "min_cover"
+        "half", "n_ring", "step_cells", "ncc_min", "ncc_ratio", "min_cover",
+        "lattice",
     ),
 )
 def _correlate(
@@ -177,6 +227,7 @@ def _correlate(
     ncc_min: float,
     ncc_ratio: float,
     min_cover: float,
+    lattice: bool | None = None,  # None = auto; tests/ablation force a path
 ):
     """Dense NCC search, shift-scan formulation (round 4).
 
@@ -225,15 +276,14 @@ def _correlate(
     cx = jnp.round((geo_q[:, 0] - raster.x0) / res).astype(jnp.int32)
     cy = jnp.round((geo_q[:, 1] - raster.y0) / res).astype(jnp.int32)
 
-    # local windows (K, S, S): index clipping matches the original per-pixel
-    # clip (clip of the summed index == the original clip of cy+off+dy).
-    # Intensities scale to [0, 1]: NCC is scale-invariant and the integral
-    # images below then stay well inside f32's exact-integer range.
-    dwin = jnp.arange(S) - (R + half)
-    wyy = jnp.clip(cy[:, None, None] + dwin[:, None], 0, H - 1)
-    wxx = jnp.clip(cx[:, None, None] + dwin[None, :], 0, W - 1)
-    Wv = img[wyy, wxx] * (1.0 / 255.0)  # (K, S, S)
-    Wh = (cnt[wyy, wxx] > 0).astype(jnp.float32)
+    # local windows (K, S, S) as edge-padded dynamic slices — identical
+    # values to the original per-element index clip, 20x faster (see
+    # _window_slices).  Intensities scale to [0, 1]: NCC is scale-invariant
+    # and the integral images below then stay well inside f32's
+    # exact-integer range.
+    vw, cw = _window_slices(img, cnt, cy, cx, R + half, S)
+    Wv = vw * (1.0 / 255.0)  # (K, S, S)
+    Wh = (cw > 0).astype(jnp.float32)
     Wvh = Wv * Wh
 
     q = desc_q.reshape(-1, k, k)
@@ -256,31 +306,10 @@ def _correlate(
     C2 = box_sums(Wvh)
     C3 = box_sums(Wv * Wvh)
 
-    # q-dependent correlations.  On TPU: a Pallas kernel keeps each
-    # 128-keypoint block's windows AND accumulators VMEM-resident for all
-    # k*k steps (read-once/write-once HBM traffic; dense_pallas.py —
-    # measured vs the scan below on v5e).  Elsewhere: ONE scan over the
-    # k*k patch cells, two (K, T, T) elementwise FMAs per step.
-    if jax.default_backend() == "tpu":
-        from .dense_pallas import qcorr_pallas
-
-        Aq, Bq = qcorr_pallas(Wvh, Wh, desc_q, k, T)
-    else:
-        def body(acc, i):
-            dy, dx = i // k, i % k
-            sh = jax.lax.dynamic_slice(Wh, (0, dy, dx), (K, T, T))
-            sv = jax.lax.dynamic_slice(Wvh, (0, dy, dx), (K, T, T))
-            qi = q[:, dy, dx][:, None, None]
-            Aq, Bq = acc
-            return (Aq + qi * sv, Bq + qi * sh), None
-
-        z = jnp.zeros((K, T, T), jnp.float32)
-        (Aq, Bq), _ = jax.lax.scan(body, (z, z), jnp.arange(k * k))
-
+    # window statistics shared by every offset (mean / norm / validity follow
+    # from C1..C3 elementwise — no k*k factor, cheap at full stride-1 T)
     mean = C2 / jnp.maximum(C1, 1.0)
     nrm = jnp.sqrt(jnp.maximum(C3 - mean * mean * C1, 0.0))
-    s_full = (Aq - mean * Bq) / jnp.maximum(nrm, 1e-6)
-
     # per-offset validity on the full stride-1 grid
     doff = jnp.arange(T) - R  # offset value at each grid index
     cover_ok = C1 >= min_cover * k * k
@@ -293,14 +322,86 @@ def _correlate(
     # contrast floor: the original tested ||v - mean|| > 1e-3 on 0..255
     # intensities; v here is scaled by 1/255
     valid = cover_ok & (nrm > 1e-3 / 255.0) & inb_y[:, :, None] & inb_x[:, None, :]
-    s_full = jnp.where(valid, s_full, -2.0)  # (K, T, T)
 
     # coarse lattice = the original candidate grid (row-major, same ordering)
     g = jnp.arange(-n_ring, n_ring + 1, step_cells, dtype=jnp.int32)
     oy, ox = jnp.meshgrid(g, g, indexing="ij")
     offs = jnp.stack([oy.ravel(), ox.ravel()], axis=1)  # (O, 2)
     lat = g + R  # indices into the T grid
-    scores = s_full[:, lat[:, None], lat[None, :]].reshape(K, -1).T  # (O, K)
+
+    # q-dependent correlations.  Round-5 lattice path (step_cells > 1): the
+    # decision only ever reads the stride-s lattice plus a (2s-1)^2
+    # refinement neighborhood around each winner, so the k*k-step scan
+    # accumulation can run on the LATTICE only (~s^2 less FMA volume via
+    # parity-plane slicing: W[o + d] = plane[(o+d) % s][(o+d) // s] makes
+    # every lattice shift a contiguous slice) with refinement scores
+    # recomputed per winner from the window blocks below.  ON TPU the
+    # lattice path is OFF by default: the full-map Pallas kernel runs the
+    # 289-step accumulation VMEM-resident in ~4 ms/pair (dense_pallas.py),
+    # so the lattice saving is noise there, and a Pallas lattice kernel
+    # attempt faulted the TPU worker at production shape (K=2000, n_ring=20)
+    # when embedded in the full program — removed rather than shipped
+    # half-debugged (round 5).  Off-TPU the XLA scan dominates the stage and
+    # the lattice cut is real (it also keeps the CPU test suite fast).
+    lattice_path = (
+        step_cells > 1
+        and n_ring % step_cells == 0
+        and jax.default_backend() != "tpu"
+        if lattice is None
+        else lattice
+    )
+    if lattice_path:
+        s = step_cells
+        # ONE scan over the k*k patch cells with dynamic slices of the
+        # stacked parity planes — identical accumulation order to the
+        # full-map scan
+        L = 2 * (n_ring // s) + 1
+        a_max = (k + s - 2) // s
+        Sp = a_max + L
+        # (s*s, Sp, Sp, K) -> K-major for the scan slices
+        wv_p = jnp.transpose(_split_parity_planes(Wvh, s, Sp), (0, 3, 1, 2))
+        wh_p = jnp.transpose(_split_parity_planes(Wh, s, Sp), (0, 3, 1, 2))
+
+        def body(acc, i):
+            dy, dx = i // k, i % k
+            ey, ex = dy + s - 1, dx + s - 1
+            p = (ey % s) * s + (ex % s)
+            ay, ax = ey // s, ex // s
+            sv = jax.lax.dynamic_slice(wv_p, (p, 0, ay, ax), (1, K, L, L))[0]
+            sh = jax.lax.dynamic_slice(wh_p, (p, 0, ay, ax), (1, K, L, L))[0]
+            qi = q.reshape(K, -1)[:, i][:, None, None]
+            A, B = acc
+            return (A + qi * sv, B + qi * sh), None
+
+        z = jnp.zeros((K, L, L), jnp.float32)
+        (Aq_c, Bq_c), _ = jax.lax.scan(body, (z, z), jnp.arange(k * k))
+        mean_c = mean[:, lat[:, None], lat[None, :]]
+        nrm_c = nrm[:, lat[:, None], lat[None, :]]
+        s_lat = (Aq_c - mean_c * Bq_c) / jnp.maximum(nrm_c, 1e-6)
+        s_lat = jnp.where(valid[:, lat[:, None], lat[None, :]], s_lat, -2.0)
+        scores = s_lat.reshape(K, -1).T  # (O, K), row-major like the full path
+    else:
+        if jax.default_backend() == "tpu":
+            # Pallas kernel: each 128-keypoint block's windows AND
+            # accumulators stay VMEM-resident for all k*k steps (read-once/
+            # write-once HBM traffic — measured vs the scan below on v5e)
+            from .dense_pallas import qcorr_pallas
+
+            Aq, Bq = qcorr_pallas(Wvh, Wh, desc_q, k, T)
+        else:
+            def body(acc, i):
+                dy, dx = i // k, i % k
+                sh = jax.lax.dynamic_slice(Wh, (0, dy, dx), (K, T, T))
+                sv = jax.lax.dynamic_slice(Wvh, (0, dy, dx), (K, T, T))
+                qi = q[:, dy, dx][:, None, None]
+                Aq, Bq = acc
+                return (Aq + qi * sv, Bq + qi * sh), None
+
+            z = jnp.zeros((K, T, T), jnp.float32)
+            (Aq, Bq), _ = jax.lax.scan(body, (z, z), jnp.arange(k * k))
+        s_full = (Aq - mean * Bq) / jnp.maximum(nrm, 1e-6)
+        s_full = jnp.where(valid, s_full, -2.0)  # (K, T, T)
+        scores = s_full[:, lat[:, None], lat[None, :]].reshape(K, -1).T  # (O, K)
 
     best_o = jnp.argmax(scores, axis=0)  # (K,)
     best = jnp.take_along_axis(scores, best_o[None, :], axis=0)[0]
@@ -311,15 +412,50 @@ def _correlate(
 
     boff = offs[best_o]  # (K, 2) cells
     if step_cells > 1:
-        # stride-1 refinement around the coarse winner — reads the already-
-        # computed full score tensor at the same positions the original
-        # re-evaluated
+        # stride-1 refinement around the coarse winner (same positions the
+        # original evaluated; all within +-R by construction)
         dg = jnp.arange(-(step_cells - 1), step_cells, dtype=jnp.int32)
         ddy, ddx = jnp.meshgrid(dg, dg, indexing="ij")
         deltas = jnp.stack([ddy.ravel(), ddx.ravel()], axis=1)  # (D, 2)
         fy = boff[None, :, 0] + deltas[:, 0:1]  # (D, K)
         fx = boff[None, :, 1] + deltas[:, 1:2]
-        fine = s_full[jnp.arange(K)[None, :], fy + R, fx + R]  # (D, K)
+        if lattice_path:
+            # recompute the refinement scores from the windows (the full map
+            # was never built on this path): ONE dynamic slice per keypoint
+            # of the (k + 2(s-1))^2 block covering all D refinement patches
+            # (a (D, K, k, k) fancy gather costs ~150 ms at the bench shape
+            # — the same per-element-gather trap as the windows), then D
+            # static sub-slices dotted with q.
+            blk = k + 2 * (step_cells - 1)
+            by = boff[:, 0] + R - (step_cells - 1)  # (K,) block start rows
+            bx = boff[:, 1] + R - (step_cells - 1)
+
+            def _blk(wv, wh, y0, x0):
+                return (
+                    jax.lax.dynamic_slice(wv, (y0, x0), (blk, blk)),
+                    jax.lax.dynamic_slice(wh, (y0, x0), (blk, blk)),
+                )
+
+            Bv, Bh = jax.vmap(_blk)(Wvh, Wh, by, bx)  # (K, blk, blk)
+            D = int(deltas.shape[0])
+            w = 2 * step_cells - 1  # refinement grid width (deltas row-major)
+            Aq_f = jnp.stack([
+                jnp.einsum("kij,kij->k",
+                           Bv[:, d // w : d // w + k, d % w : d % w + k], q)
+                for d in range(D)
+            ])  # (D, K)
+            Bq_f = jnp.stack([
+                jnp.einsum("kij,kij->k",
+                           Bh[:, d // w : d // w + k, d % w : d % w + k], q)
+                for d in range(D)
+            ])
+            ki = jnp.arange(K)[None, :]
+            mean_f = mean[ki, fy + R, fx + R]
+            nrm_f = nrm[ki, fy + R, fx + R]
+            fine = (Aq_f - mean_f * Bq_f) / jnp.maximum(nrm_f, 1e-6)
+            fine = jnp.where(valid[ki, fy + R, fx + R], fine, -2.0)
+        else:
+            fine = s_full[jnp.arange(K)[None, :], fy + R, fx + R]  # (D, K)
         fbest = jnp.argmax(fine, axis=0)
         best = jnp.take_along_axis(fine, fbest[None, :], axis=0)[0]
         boff = boff + deltas[fbest]

@@ -423,3 +423,69 @@ class TestAdaptiveRematch:
             [jnp.asarray(g0), jnp.asarray(g1f)], cfg,
         )
         assert stop
+
+
+class TestLatticeCorrelation:
+    """Round-5 lattice q-correlation: computing the k*k-step accumulation
+    only on the stride-s decision lattice (parity planes) plus a per-winner
+    gather refinement must reproduce the full stride-1 path's decisions."""
+
+    def _inputs(self, drifting_survey, n_ring=8, K=256):
+        from diasss_tpu.matching.dense import _raster_patches
+
+        survey, frames = drifting_survey
+        dcfg = DetectorConfig(descriptor="geo_patch", n_features=K)
+        feats = detect_features(frames[0].norm, frames[0].mask, dcfg)
+        rs = world_raster(frames[0].norm, frames[0].geo, dcfg.geopatch_res)
+        rt = world_raster(frames[1].norm, frames[1].geo, dcfg.geopatch_res)
+        g = np.asarray(frames[0].geo)
+        xy = np.asarray(feats.xy).astype(int)
+        geo_kp = jnp.asarray(
+            g[np.clip(xy[:, 1], 0, g.shape[0] - 1),
+              np.clip(xy[:, 0], 0, g.shape[1] - 1)]
+        )
+        desc_q, ok_q = _raster_patches(rs, geo_kp, dcfg.geopatch_half, 0.6)
+        return desc_q, ok_q & feats.valid, geo_kp, rt, dcfg
+
+    @pytest.mark.parametrize("step", [2, 3])
+    def test_lattice_matches_full_path(self, drifting_survey, step):
+        from diasss_tpu.matching.dense import _correlate
+
+        desc_q, okq, geo_kp, rt, dcfg = self._inputs(drifting_survey, K=256)
+        kw = dict(half=dcfg.geopatch_half, n_ring=6 if step == 3 else 8,
+                  step_cells=step, ncc_min=0.35, ncc_ratio=1.0, min_cover=0.6)
+        full = _correlate(desc_q, okq, geo_kp, rt, lattice=False, **kw)
+        latt = _correlate(desc_q, okq, geo_kp, rt, lattice=True, **kw)
+        # identical decisions (positions + acceptance); scores agree to the
+        # recomputation tolerance (refinement values are freshly accumulated
+        # on the lattice path instead of indexed from the full map)
+        np.testing.assert_array_equal(np.asarray(full.ok), np.asarray(latt.ok))
+        np.testing.assert_array_equal(
+            np.asarray(full.tgt_geo), np.asarray(latt.tgt_geo)
+        )
+        np.testing.assert_allclose(
+            np.asarray(full.score), np.asarray(latt.score), rtol=0, atol=1e-5
+        )
+
+
+class TestWindowSlices:
+    def test_equals_element_clip_gather(self):
+        """_window_slices (edge-padded dynamic slices) must reproduce the
+        element-clip fancy gather exactly for every center within +-ext of
+        the raster — including centers slightly OUTSIDE it (drifted
+        predictions near the swath edge)."""
+        from diasss_tpu.matching.dense import _window_slices
+
+        rng = np.random.default_rng(3)
+        H, W, ext = 40, 52, 7
+        size = 2 * ext + 1
+        img = jnp.asarray(rng.random((H, W), np.float32))
+        cnt = jnp.asarray((rng.random((H, W)) > 0.3).astype(np.float32))
+        cy = jnp.asarray(rng.integers(-ext, H + ext, 64).astype(np.int32))
+        cx = jnp.asarray(rng.integers(-ext, W + ext, 64).astype(np.int32))
+        vw, cw = _window_slices(img, cnt, cy, cx, ext, size)
+        d = np.arange(-ext, ext + 1)
+        yy = np.clip(np.asarray(cy)[:, None, None] + d[:, None], 0, H - 1)
+        xx = np.clip(np.asarray(cx)[:, None, None] + d[None, :], 0, W - 1)
+        np.testing.assert_array_equal(np.asarray(vw), np.asarray(img)[yy, xx])
+        np.testing.assert_array_equal(np.asarray(cw), np.asarray(cnt)[yy, xx])
