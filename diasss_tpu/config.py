@@ -261,11 +261,29 @@ class FullBAConfig:
     #   multi-RHS chain factorization + Woodbury over the landmark coupling
     #   columns (3 per correspondence), zero CG iterations
     #   (full_ba.py:_direct_ba_step).
-    # * "jacobi" | "tridiag" | "dense_seg" — PCG preconditioners.
-    # * "auto": on TPU, "direct" up to 1024 (padded) correspondences, then
-    #   "dense_seg"; "tridiag" elsewhere.
+    # * "chain" — EXACT chain-preconditioned PCG (round 5): the Schur-
+    #   corrected chain approximation is factored once per LM trial into the
+    #   two-level ChainFactor (tridiag.chain_factor — dense segment inverses
+    #   + spike boundary system); each PCG application is batched GEMM work
+    #   and solves the chain EXACTLY.  Measured honestly (PERF round 5): CG
+    #   counts are NOT materially lower than dense_seg's for full BA — the
+    #   Schur spectrum is landmark-coupling-bound, not chain-bound — so this
+    #   stays OPT-IN (wins 1.16x at K=4k, loses ~10% at 8k/32k).
+    # * "jacobi" | "tridiag" | "dense_seg" — approximate PCG preconditioners.
+    # * "auto": on TPU, "direct" up to 2048 (padded) correspondences, then
+    #   "dense_seg" — the measured crossover (scripts/ab_chain_ba.py: direct
+    #   0.99 s at K=2048 vs 7.0 s at 4096 where the (3K)^3 capacitance
+    #   Cholesky takes over); "tridiag" elsewhere.
     preconditioner: str = "auto"
     tridiag_segment: int = 256
+    # Compute EXACT per-pose marginal covariances at the solution
+    # (full_ba.ba_pose_marginals: Takahashi selected inversion on the chain
+    # + the low-rank Woodbury correction — the reference's GTSAM QR
+    # Marginals analogue, optimizer.cpp:956).  One post-solve computation;
+    # results ride SlamResult.pose_sigmas, the CLI --metrics JSON, and the
+    # est_pose_sigmas_all.txt dump.  The CLI enables it automatically when
+    # --metrics is requested with the full_ba estimator.
+    marginals: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

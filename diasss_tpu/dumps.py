@@ -34,6 +34,15 @@ def write_reference_dumps(out_dir: str, result, kps_pairs: dict) -> None:
     """Write the full reference text-artifact set from a SlamResult."""
     os.makedirs(out_dir, exist_ok=True)
 
+    # exact full-BA pose marginals (FullBAConfig.marginals): one row per
+    # ping, 6 sigmas (r p y x y z) — the artifact analogue of the
+    # reference's GTSAM Marginals (optimizer.cpp:956), which it only ever
+    # consumed internally as LC noise models
+    if getattr(result, "pose_sigmas", None) is not None:
+        with open(os.path.join(out_dir, "est_pose_sigmas_all.txt"), "w") as f:
+            for row in np.asarray(result.pose_sigmas):
+                f.write(" ".join(f"{v:.9f}" for v in row) + "\n")
+
     # annotated_kps.txt (optimizer.cpp:78-83)
     with open(os.path.join(out_dir, "annotated_kps.txt"), "w") as f:
         for (i, j) in result.pair_ids:

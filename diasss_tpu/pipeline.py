@@ -54,6 +54,10 @@ class SlamResult:
     solve_error0: float
     solve_error: float
     timings: Dict[str, float]
+    # (P, 6) EXACT per-pose marginal standard deviations of the full-BA
+    # estimate (FullBAConfig.marginals; rpy then xyz tangent order) — the
+    # reference's GTSAM Marginals analogue.  None unless computed.
+    pose_sigmas: Optional[np.ndarray] = None
     # True when the global solve exited on its iteration cap while STILL
     # improving (stall counter 0) — accuracy is being left on the table;
     # raise max_gn_iters/max_iters or enable coarse_init_stride (VERDICT r3
@@ -714,7 +718,7 @@ def _solve_full_ba(frames, geo_list, kps_pairs, pair_ids, cfg, init_poses, it, t
     timings[f"solver_{kind}_solves"] = timings.get(f"solver_{kind}_solves", 0) + 1
     jax.block_until_ready(poses.t)
     timings["full_ba"] = timings.get("full_ba", 0.0) + time.perf_counter() - t0
-    return poses, info, n_valid
+    return poses, info, n_valid, prob, lms
 
 
 def run_slam(
@@ -797,7 +801,7 @@ def run_slam(
         timings["kps_pairs"] = timings.get("kps_pairs", 0.0) + time.perf_counter() - t0
 
         if cfg.estimator == "full_ba":
-            poses, info, n_acc = _solve_full_ba(
+            poses, info, n_acc, ba_prob, ba_lms = _solve_full_ba(
                 frames, geo_list, kps_pairs, pair_ids, cfg, init_poses, it, timings
             )
             init_poses = poses
@@ -805,6 +809,23 @@ def run_slam(
             poses, info, lc_results, n_acc = _solve_two_stage(
                 frames, geo_list, kps_pairs, pair_ids, cap, cfg, timings
             )
+
+    # --- exact pose marginals (FullBAConfig.marginals): the reference's
+    # GTSAM QR Marginals analogue (optimizer.cpp:956) for the flagship
+    # estimator, one post-solve computation at the final linearization ---
+    pose_sigmas = None
+    if cfg.estimator == "full_ba" and cfg.full_ba.marginals:
+        from .solvers.full_ba import ba_pose_marginals
+
+        t0 = time.perf_counter()
+        n_valid = int(np.asarray(ba_prob.kp_valid).sum())
+        k_cols = min(int(ba_prob.kp_i.shape[0]),
+                     max(128, -(-n_valid // 128) * 128))
+        cov = ba_pose_marginals(ba_prob, poses, ba_lms, cfg.full_ba,
+                                cfg.kp_noise, k_cols=k_cols)
+        diag = jnp.diagonal(cov, axis1=1, axis2=2)
+        pose_sigmas = np.sqrt(np.maximum(np.asarray(diag), 0.0))
+        timings["pose_marginals"] = time.perf_counter() - t0
 
     # --- evaluation (C18) — always against the original DR geo.  The DR
     # fetch is a real device->host transfer and belongs inside the timed
@@ -874,6 +895,7 @@ def run_slam(
         solve_error=float(err_h),
         timings=timings,
         solve_capped=solve_capped,
+        pose_sigmas=pose_sigmas,
     )
     if out_dir is not None:
         from .dumps import write_reference_dumps

@@ -89,16 +89,24 @@ def resolve_ba_solver_kind(preconditioner: str, P: int, K_pad: int) -> str:
     by observability callers, so the recorded kind can never drift from the
     executed one).
 
-    TPU: the exact direct Woodbury chain step (zero CG) up to
-    ``direct_max_k`` padded correspondences with bounded multi-RHS buffers;
-    beyond that the chain-preconditioned PCG ("dense_seg") takes over.
-    Elsewhere: "tridiag" PCG.
+    TPU: the exact direct Woodbury chain step (zero CG) up to 2048 padded
+    correspondences; beyond that, chain-preconditioned PCG ("dense_seg").
+    The cutover is MEASURED (scripts/ab_chain_ba.py, TPU v5e, P = 4200,
+    PERF.md round 5): direct wins at K_pad = 2048 (0.99 s vs dense_seg
+    1.28 s / chain 2.9 s) but collapses at 4096 (7.0 s — the (3K)^3
+    capacitance Cholesky) where dense_seg 1.29 s / chain 1.11 s take over;
+    at 8k/32k dense_seg and chain are within 10% of each other, so the
+    familiar dense_seg stays the fallback and the EXACT-chain "chain"
+    preconditioner remains opt-in (its CG counts are NOT materially lower —
+    the spectrum is landmark-coupling-bound, not chain-bound, refuting the
+    round-4 hypothesis; kept for LC-dominated pose graphs where it does
+    win).  Elsewhere: "tridiag" PCG.
     """
     kind = preconditioner
     if kind == "auto":
         if jax.default_backend() == "tpu":
             mem_ok = P * 6 * (3 * K_pad + 1) * 4 * 3 < 4e9
-            kind = "direct" if (K_pad <= 1024 and mem_ok) else "dense_seg"
+            kind = "direct" if (K_pad <= 2048 and mem_ok) else "dense_seg"
         else:
             kind = "tridiag"
     return kind
@@ -543,7 +551,29 @@ def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg, lam0=None,
         # preconditioner is the PCG choice on both backends; on TPU in its
         # MXU dense_seg form.)
         seg = cfg.tridiag_segment if jax.default_backend() != "tpu" else min(cfg.tridiag_segment, 64)
-        if precond_kind == "dense_seg":
+        if precond_kind == "chain":
+            # EXACT chain preconditioner (round 5): factor the Schur-
+            # corrected chain approximation T'' = tridiag(D_pc, U) ONCE per
+            # LM trial into the two-level ChainFactor (dense segment
+            # inverses + spike boundary system, tridiag.chain_factor); every
+            # PCG application is then pure batched GEMM work AND solves the
+            # chain exactly (dense_seg drops the cross-segment couplings).
+            # CG counts become landmark-coupling-bound — the scalable step
+            # above the direct Woodbury guard (VERDICT r4 item 2).
+            from .tridiag import chain_factor, chain_solve
+
+            U = U_chain.at[0].set(0.0)
+            D_pc = jnp.where(
+                jnp.isfinite(jnp.linalg.cholesky(Dp_damped)).all(axis=(-1, -2), keepdims=True),
+                Dp_damped,
+                D_p * (1.0 + lam) + 1e-5 * jnp.eye(6, dtype=dtype),
+            )
+            fac = chain_factor(D_pc, U, seg)
+
+            def precond(v):
+                return chain_solve(fac, v)
+
+        elif precond_kind == "dense_seg":
             from .tridiag import (
                 apply_dense_segment_inverses,
                 auto_dense_segment,
@@ -746,49 +776,82 @@ def build_ba_problem(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "kp_cfg", "n_probes"))
-def estimate_pose_variances(
+@functools.partial(jax.jit, static_argnames=("cfg", "kp_cfg", "k_cols"))
+def ba_pose_marginals(
     prob: BAProblem,
     poses: se3.Pose3,
     lms: jnp.ndarray,
-    key: jax.Array,
     cfg: FullBAConfig,
     kp_cfg,
-    n_probes: int = 16,
+    k_cols: int | None = None,
 ) -> jnp.ndarray:
-    """(P, 6) approximate marginal variances of the BA pose estimate.
+    """(P, 6, 6) EXACT marginal covariance blocks of the BA pose estimate.
 
-    The reference reports pose uncertainty through GTSAM marginals
-    (optimizer.cpp:956); the full-BA equivalent is the diagonal of the inverse
-    Schur complement ``S^-1`` — too large to invert, so we use Hutchinson's
-    estimator: ``diag(S^-1) ~ E[z * (S^-1 z)]`` with Rademacher probes, each
-    solved by the same factor-wise PCG as the solver.  ~16 probes give ~25%
-    relative accuracy per entry — adequate for gating/reporting.
+    The reference reports pose uncertainty through GTSAM's exact QR marginals
+    (/root/reference/src/core/optimizer.cpp:956); this is the full-BA
+    equivalent: the block diagonal of the inverse Schur complement
+    ``S^-1 = (T - V V^T)^-1`` at the solution, computed EXACTLY (round 5 —
+    replaces the never-wired ~25%-error Hutchinson estimator):
 
-    (This re-linearizes at the solution with the same math as solve_full_ba's
-    trial; kept standalone so the solver stays a single tight closure.)
+    * ``diag blocks of T^-1`` by Takahashi-style selected inversion on the
+      gauge-fixed chain (tridiag.block_tridiag_selected_inverse, O(P));
+    * the low-rank Woodbury correction
+      ``+ Wv (I - V^T T^-1 V)^-1 Wv^T`` per block, with ``Wv = T^-1 V`` from
+      the same multi-RHS chain factorization as the direct LM step and ONE
+      triangular solve of the capacitance Cholesky against all pose blocks.
+
+    Linearization matches the solver's final trial (Huber IRLS weights at
+    the solution, constant-pose endpoints respected); pose 0 is the gauge
+    (zero covariance by construction).  ``k_cols`` trims the Woodbury width
+    to the leading (bucketed-valid) factor slots exactly like the direct
+    step — callers must guarantee slots >= k_cols are invalid.
+
+    Cost: one chain factorization with 3*k_cols RHS + one (3k, 3k) Cholesky
+    + one (3k, 6P) triangular solve — a one-time post-solve computation
+    (~1-2 s at the flagship K<=1024 regime on TPU v5e; exactness is
+    validated against dense inversion in tests/test_full_ba.py).
     """
-    from .pose_graph import _linearize_between, _pcg
+    from .tridiag import (
+        block_tridiag_selected_inverse,
+        solve_block_tridiag_multi,
+        thomas_block_tridiag_multi,
+    )
 
     P = prob.poses0.t.shape[0]
     dtype = prob.poses0.t.dtype
+    K = int(prob.kp_i.shape[0])
+    if k_cols is None or k_cols > K:
+        k_cols = K
+
     sig_s = jax.vmap(lambda sr: kp_noise_sigmas(sr, kp_cfg.sigma_r, kp_cfg.alpha_bw_deg))(prob.kp_sr_s)
     sig_t = jax.vmap(lambda sr: kp_noise_sigmas(sr, kp_cfg.sigma_r, kp_cfg.alpha_bw_deg))(prob.kp_sr_t)
 
     idx_a = jnp.arange(P - 1)
     idx_b = jnp.arange(1, P)
+    from .pose_graph import _linearize_between
+
     _, Ja, Jb = jax.vmap(_linearize_between)(
         poses[idx_a], poses[idx_b], prob.odo_meas,
         jnp.broadcast_to(prob.odo_sigmas, (P - 1, 6)),
     )
-    _pi, _pj = _endpoint_poses(poses, prob)
-    _, Jp_s, Jl_s = jax.vmap(_sss_factor_terms)(_pi, lms, prob.kp_sr_s, sig_s)
-    _, Jp_t, Jl_t = jax.vmap(_sss_factor_terms)(_pj, lms, prob.kp_sr_t, sig_t)
+    pose_i, pose_j = _endpoint_poses(poses, prob)
+    r_s, Jp_s, Jl_s = jax.vmap(_sss_factor_terms)(pose_i, lms, prob.kp_sr_s, sig_s)
+    r_t, Jp_t, Jl_t = jax.vmap(_sss_factor_terms)(pose_j, lms, prob.kp_sr_t, sig_t)
     if prob.kp_i_fix is not None:
         Jp_s = jnp.where(prob.kp_i_fix[:, None, None], 0.0, Jp_s)
     if prob.kp_j_fix is not None:
         Jp_t = jnp.where(prob.kp_j_fix[:, None, None], 0.0, Jp_t)
     vmask = prob.kp_valid
+    r_s = jnp.where(vmask[:, None], r_s, 0.0)
+    r_t = jnp.where(vmask[:, None], r_t, 0.0)
+    # final-trial Huber IRLS weights: the marginals are of the ROBUSTIFIED
+    # Gauss-Newton system, matching what the solver converged on
+    w_s = _huber_weight(jnp.sum(r_s**2, axis=-1), cfg.huber_delta)
+    w_t = _huber_weight(jnp.sum(r_t**2, axis=-1), cfg.huber_delta)
+    Jp_s = Jp_s * w_s[:, None, None]
+    Jp_t = Jp_t * w_t[:, None, None]
+    Jl_s = Jl_s * w_s[:, None, None]
+    Jl_t = Jl_t * w_t[:, None, None]
     Jp_s = jnp.where(vmask[:, None, None], Jp_s, 0.0)
     Jp_t = jnp.where(vmask[:, None, None], Jp_t, 0.0)
     Jl_s = jnp.where(vmask[:, None, None], Jl_s, 0.0)
@@ -798,22 +861,7 @@ def estimate_pose_variances(
         / prob.lm_prior_sigmas[None, :, None]
     ) * vmask[:, None, None].astype(dtype)
 
-    H_ll = (
-        jnp.einsum("kab,kac->kbc", Jl_s, Jl_s, precision=_HI)
-        + jnp.einsum("kab,kac->kbc", Jl_t, Jl_t, precision=_HI)
-        + jnp.einsum("kab,kac->kbc", Jl_pr, Jl_pr, precision=_HI)
-        + 1e-6 * jnp.eye(3, dtype=dtype)
-    )
-    L_ll = jnp.linalg.cholesky(H_ll)
-
-    def ll_solve(x):
-        if x.ndim == 2:
-            return jax.scipy.linalg.cho_solve((L_ll, True), x[..., None])[..., 0]
-        return jax.scipy.linalg.cho_solve((L_ll, True), x)
-
-    Hpl_s = jnp.einsum("kab,kac->kbc", Jp_s, Jl_s, precision=_HI)
-    Hpl_t = jnp.einsum("kab,kac->kbc", Jp_t, Jl_t, precision=_HI)
-
+    # pose block diagonal of T (odometry + sonar), landmark blocks, couplings
     D_p = jax.ops.segment_sum(
         jnp.einsum("kab,kac->kbc", Ja, Ja, precision=_HI), idx_a, P
     ) + jax.ops.segment_sum(
@@ -823,48 +871,64 @@ def estimate_pose_variances(
     ) + jax.ops.segment_sum(
         jnp.einsum("kab,kac->kbc", Jp_t, Jp_t, precision=_HI), prob.kp_j, P
     )
-    D_p = D_p.at[0].set(jnp.eye(6, dtype=dtype))
+    H_ll = (
+        jnp.einsum("kab,kac->kbc", Jl_s, Jl_s, precision=_HI)
+        + jnp.einsum("kab,kac->kbc", Jl_t, Jl_t, precision=_HI)
+        + jnp.einsum("kab,kac->kbc", Jl_pr, Jl_pr, precision=_HI)
+        + 1e-6 * jnp.eye(3, dtype=dtype)
+    )
+    L_ll = jnp.linalg.cholesky(H_ll)
+    Hpl_s = jnp.einsum("kab,kac->kbc", Jp_s, Jl_s, precision=_HI)
+    Hpl_t = jnp.einsum("kab,kac->kbc", Jp_t, Jl_t, precision=_HI)
 
-    def fix0(v):
-        return v.at[0].set(0.0)
+    eye6 = jnp.eye(6, dtype=dtype)
+    U_chain = jnp.einsum("kab,kac->kbc", Ja, Jb, precision=_HI)
+    # gauge: pose 0 pinned (identity row, decoupled)
+    T_diag = (D_p + 1e-6 * eye6).at[0].set(eye6)
+    U = U_chain.at[0].set(0.0)
 
-    def matvec(v):
-        v = fix0(v)
-        va = v[idx_a]
-        vb = v[idx_b]
-        a = jnp.einsum("kab,kb->ka", Ja, va, precision=_HI) + jnp.einsum(
-            "kab,kb->ka", Jb, vb, precision=_HI
-        )
-        out = jax.ops.segment_sum(
-            jnp.einsum("kab,ka->kb", Ja, a, precision=_HI), idx_a, P
-        ) + jax.ops.segment_sum(jnp.einsum("kab,ka->kb", Jb, a, precision=_HI), idx_b, P)
-        b_s = jnp.einsum("kab,kb->ka", Jp_s, v[prob.kp_i], precision=_HI)
-        b_t = jnp.einsum("kab,kb->ka", Jp_t, v[prob.kp_j], precision=_HI)
-        out = out + jax.ops.segment_sum(
-            jnp.einsum("kab,ka->kb", Jp_s, b_s, precision=_HI), prob.kp_i, P
-        ) + jax.ops.segment_sum(jnp.einsum("kab,ka->kb", Jp_t, b_t, precision=_HI), prob.kp_j, P)
-        w = jnp.einsum("kab,ka->kb", Jl_s, b_s, precision=_HI) + jnp.einsum(
-            "kab,ka->kb", Jl_t, b_t, precision=_HI
-        )
-        yv = ll_solve(w)
-        out = out - (
-            jax.ops.segment_sum(jnp.einsum("kac,kc->ka", Hpl_s, yv, precision=_HI), prob.kp_i, P)
-            + jax.ops.segment_sum(jnp.einsum("kac,kc->ka", Hpl_t, yv, precision=_HI), prob.kp_j, P)
-        )
-        out = out + 1e-8 * v  # tiny Tikhonov keeps S strictly PD
-        return out.at[0].set(v[0])
+    # Woodbury columns, trimmed to the leading k_cols slots
+    Hs = Hpl_s[:k_cols]
+    Ht = Hpl_t[:k_cols]
+    Lk = L_ll[:k_cols]
+    kp_i = prob.kp_i[:k_cols]
+    kp_j = prob.kp_j[:k_cols]
+    Hs0 = jnp.where((kp_i == 0)[:, None, None], 0.0, Hs)
+    Ht0 = jnp.where((kp_j == 0)[:, None, None], 0.0, Ht)
+    Vhat_s = jax.scipy.linalg.solve_triangular(
+        Lk, Hs0.swapaxes(-1, -2), lower=True
+    ).swapaxes(-1, -2)
+    Vhat_t = jax.scipy.linalg.solve_triangular(
+        Lk, Ht0.swapaxes(-1, -2), lower=True
+    ).swapaxes(-1, -2)
+    onehot_i = (kp_i[:, None] == jnp.arange(P)[None, :]).astype(dtype)
+    onehot_j = (kp_j[:, None] == jnp.arange(P)[None, :]).astype(dtype)
+    V = jnp.einsum("kp,kba->pbka", onehot_i, Vhat_s, precision=_DEFP) + jnp.einsum(
+        "kp,kba->pbka", onehot_j, Vhat_t, precision=_DEFP
+    )
 
-    Lp = jnp.linalg.cholesky(D_p + 1e-5 * jnp.eye(6, dtype=dtype))
+    multi_solve = (
+        solve_block_tridiag_multi
+        if jax.default_backend() == "tpu"
+        else thomas_block_tridiag_multi
+    )
+    Wv = multi_solve(T_diag, U, V.reshape(P, 6, 3 * k_cols))  # (P, 6, 3k)
 
-    def precond(v):
-        return jax.scipy.linalg.cho_solve((Lp, True), v[..., None])[..., 0]
+    AW = jnp.einsum(
+        "kba,kbr->kar", Vhat_s, Wv[kp_i], precision=_DEFP
+    ) + jnp.einsum("kba,kbr->kar", Vhat_t, Wv[kp_j], precision=_DEFP)
+    C = jnp.eye(3 * k_cols, dtype=dtype) - AW.reshape(3 * k_cols, 3 * k_cols)
+    Lc = jnp.linalg.cholesky(0.5 * (C + C.T))
 
-    def probe(k):
-        z = jax.random.rademacher(k, (P, 6), dtype=dtype)
-        y, _ = _pcg(matvec, fix0(z), precond, 1e-5, cfg.cg_max_iters)
-        return fix0(z) * y
+    # correction blocks: Wv_p C^-1 Wv_p^T = Z_p^T Z_p, Z = Lc^-1 Wv^T
+    Z = jax.scipy.linalg.solve_triangular(
+        Lc, Wv.reshape(P * 6, 3 * k_cols).T, lower=True
+    )  # (3k, 6P)
+    corr = jnp.einsum(
+        "kpa,kpb->pab", Z.reshape(3 * k_cols, P, 6), Z.reshape(3 * k_cols, P, 6),
+        precision=_DEFP,
+    )
 
-    keys = jax.random.split(key, n_probes)
-    acc = jnp.mean(jax.lax.map(probe, keys), axis=0)
-    # pose 0 is the gauge (fixed): zero uncertainty by construction
-    return jnp.maximum(acc, 0.0).at[0].set(0.0)
+    diagT = block_tridiag_selected_inverse(T_diag, U)
+    cov = diagT + corr
+    return cov.at[0].set(0.0)  # the gauge pose has zero uncertainty

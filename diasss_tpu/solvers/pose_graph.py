@@ -475,7 +475,23 @@ def solve_pose_graph(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig(),
 
             Dp = D * (1.0 + lam) + 1e-6 * jnp.eye(6, dtype=D.dtype)
 
-            if precond_kind == "dense_seg":
+            if precond_kind == "chain":
+                # EXACT chain preconditioner (round 5; see FullBAConfig
+                # "chain"): factor the damped chain once per LM trial into
+                # the two-level ChainFactor — every PCG application is
+                # batched GEMM work and solves the chain exactly, so CG
+                # counts are loop-closure-bound.  The scalable option past
+                # the direct Woodbury guard (L > 1024 LC factors).
+                from .tridiag import auto_dense_segment, chain_factor, chain_solve
+
+                U = jnp.einsum("fab,fac->fbc", Ji[: P - 1], Jj[: P - 1], precision=_HI)
+                U = U.at[0].set(0.0)
+                fac = chain_factor(Dp, U, auto_dense_segment(P, cfg.tridiag_segment))
+
+                def precond(v):
+                    return chain_solve(fac, v)
+
+            elif precond_kind == "dense_seg":
                 from .tridiag import (
                     apply_dense_segment_inverses,
                     auto_dense_segment,

@@ -16,6 +16,8 @@ sub-diagonal is ``U[i]^T``.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -404,3 +406,156 @@ def auto_dense_segment(P: int, requested: int, budget_floats: int = 150_000_000)
     while seg * 2 <= requested and 36 * P * (seg * 2) <= budget_floats:
         seg *= 2
     return min(seg, max(8, requested))
+
+
+class ChainFactor(NamedTuple):
+    """Reusable EXACT factorization of a block-tridiagonal chain — the
+    single-device SPIKE two-level scheme, shaped for the MXU.
+
+    The chain is cut into S segments of ``segment`` block-rows; each
+    segment's dense matrix is inverted ONCE (batched (S, m, m) inversion,
+    m = 6*segment), the 12 spike columns per segment couple neighbors, and
+    the (12S, 12S) reduced boundary system is inverted densely.  Every
+    apply is then pure batched GEMM work: ``x = Minv b`` per segment, one
+    (12S, 12S) @ (12S, R) boundary correction, two spike GEMMs.
+
+    Unlike :func:`dense_segment_inverses` (which DROPS the cross-segment
+    couplings and is therefore only a preconditioner), this is an exact
+    solve — interchangeable with :func:`solve_block_tridiag_multi` /
+    :func:`thomas_block_tridiag_multi`, but with cost that rides the MXU:
+    measured TPU v5e (PERF.md round 5) the direct BA step's multi-RHS solve
+    drops from CR's narrow log2(P)-level recursion to two wide GEMMs.
+    """
+
+    Minv: jnp.ndarray  # (S, m, m) per-segment dense inverses
+    F: jnp.ndarray  # (S, m, 6) right spikes (coupling to next segment)
+    G: jnp.ndarray  # (S, m, 6) left spikes (coupling to previous segment)
+    Rinv: jnp.ndarray  # (12S, 12S) inverse of the reduced boundary system
+    # segment size and the real row count are DERIVED from shapes at apply
+    # time (m // 6 and b.shape[0]) so a ChainFactor can cross jit boundaries
+    # without its metadata becoming traced arrays
+
+
+def chain_factor(D: jnp.ndarray, U: jnp.ndarray, segment: int = 64) -> ChainFactor:
+    """Factor the SPD block-tridiagonal chain (D: (P, 6, 6), U: (P-1, 6, 6))
+    into a :class:`ChainFactor` (see there).  One batched (S, m, m) dense
+    inversion + one (12S, 12S) dense inversion; all later applies are GEMMs."""
+    P = D.shape[0]
+    S = -(-P // segment)
+    pad = S * segment - P
+    eye6 = jnp.eye(6, dtype=D.dtype)
+    if pad:
+        D = jnp.concatenate([D, jnp.broadcast_to(eye6, (pad, 6, 6))])
+    U_full = jnp.concatenate([U, jnp.zeros((pad + 1, 6, 6), U.dtype)])[: S * segment]
+    # boundary couplings: U_bd[s] couples segment s's LAST row to s+1's first
+    idx = jnp.arange(S * segment)
+    cross = (idx % segment) == (segment - 1)
+    U_bd = U_full[segment - 1 :: segment]  # (S, 6, 6); U_bd[S-1] is junk ->
+    U_bd = U_bd.at[S - 1].set(0.0)  # no next segment
+    U_in = jnp.where(cross[:, None, None], 0.0, U_full)
+
+    D_seg = D.reshape(S, segment, 6, 6)
+    U_seg = U_in.reshape(S, segment, 6, 6)[:, : segment - 1]
+
+    m = 6 * segment
+    T = jnp.zeros((S, segment, 6, segment, 6), D.dtype)
+    ii = jnp.arange(segment)
+    T = T.at[:, ii, :, ii, :].set(jnp.swapaxes(D_seg, 0, 1))
+    if segment > 1:
+        jj = jnp.arange(segment - 1)
+        T = T.at[:, jj, :, jj + 1, :].set(jnp.swapaxes(U_seg, 0, 1))
+        T = T.at[:, jj + 1, :, jj, :].set(jnp.swapaxes(U_seg.swapaxes(-1, -2), 0, 1))
+    Minv = jnp.linalg.inv(T.reshape(S, m, m))
+
+    # spikes: F_s = Minv_s (e_last x U_bd[s]); G_s = Minv_s (e_first x U_bd[s-1]^T)
+    U_prev = jnp.concatenate([jnp.zeros((1, 6, 6), D.dtype), U_bd[:-1]])
+    F = jnp.einsum("sij,sjb->sib", Minv[:, :, m - 6 :], U_bd, precision=_HI)
+    G = jnp.einsum("sij,sjb->sib", Minv[:, :, :6],
+                   U_prev.swapaxes(-1, -2), precision=_HI)
+
+    # reduced boundary system over y = [x_s[first6], x_s[last6]]:
+    #   x_s[first] + F_s[first] y_{s+1,first} + G_s[first] y_{s-1,last} = w_s[first]
+    #   x_s[last]  + F_s[last]  y_{s+1,first} + G_s[last]  y_{s-1,last} = w_s[last]
+    M = jnp.zeros((S, 2, 6, S, 2, 6), D.dtype)
+    si = jnp.arange(S)
+    ee = jnp.broadcast_to(jnp.eye(6, dtype=D.dtype), (S, 2, 6, 6))
+    M = M.at[si[:, None], jnp.arange(2)[None, :], :, si[:, None],
+             jnp.arange(2)[None, :], :].set(ee)
+    for s in range(S):  # S is static and modest; unrolled at trace time
+        if s + 1 < S:
+            M = M.at[s, 0, :, s + 1, 0, :].add(F[s, :6])
+            M = M.at[s, 1, :, s + 1, 0, :].add(F[s, m - 6 :])
+        if s - 1 >= 0:
+            M = M.at[s, 0, :, s - 1, 1, :].add(G[s, :6])
+            M = M.at[s, 1, :, s - 1, 1, :].add(G[s, m - 6 :])
+    Rinv = jnp.linalg.inv(M.reshape(12 * S, 12 * S))
+    return ChainFactor(Minv=Minv, F=F, G=G, Rinv=Rinv)
+
+
+def chain_solve(fac: ChainFactor, b: jnp.ndarray) -> jnp.ndarray:
+    """Exact chain solve with a prebuilt :class:`ChainFactor`.
+    ``b``: (P, 6) or (P, 6, R); returns the same shape."""
+    single = b.ndim == 2
+    if single:
+        b = b[:, :, None]
+    P, _, Rn = b.shape
+    S, m, _ = fac.Minv.shape
+    segment = m // 6
+    pad = S * segment - P
+    if pad:
+        b = jnp.concatenate([b, jnp.zeros((pad, 6, Rn), b.dtype)])
+    bs = b.reshape(S, m, Rn)
+    w = jnp.einsum("sij,sjr->sir", fac.Minv, bs, precision=_HI)  # (S, m, R)
+
+    wb = jnp.stack([w[:, :6], w[:, m - 6 :]], axis=1)  # (S, 2, 6, R)
+    y = jnp.einsum("ab,br->ar", fac.Rinv, wb.reshape(12 * S, Rn),
+                   precision=_HI).reshape(S, 2, 6, Rn)
+    y_next = jnp.concatenate([y[1:, 0], jnp.zeros((1, 6, Rn), b.dtype)])  # (S, 6, R)
+    y_prev = jnp.concatenate([jnp.zeros((1, 6, Rn), b.dtype), y[:-1, 1]])
+    x = w - jnp.einsum("sib,sbr->sir", fac.F, y_next, precision=_HI)
+    x = x - jnp.einsum("sib,sbr->sir", fac.G, y_prev, precision=_HI)
+    x = x.reshape(S * segment, 6, Rn)[:P]
+    return x[:, :, 0] if single else x
+
+
+def block_tridiag_selected_inverse(D: jnp.ndarray, U: jnp.ndarray) -> jnp.ndarray:
+    """(P, 6, 6) DIAGONAL blocks of T^-1 for the SPD block-tridiagonal T —
+    Takahashi-style selected inversion, O(P) instead of any dense inverse.
+
+    Forward block-elimination Schur diagonals ``S_i = D_i - U_{i-1}^T
+    S_{i-1}^-1 U_{i-1}``, then the classic backward recurrence for a block
+    tridiagonal inverse's diagonal:
+
+        Sigma_P = S_P^-1
+        Sigma_i = S_i^-1 + (S_i^-1 U_i) Sigma_{i+1} (S_i^-1 U_i)^T
+
+    Two ``lax.scan``s of 6x6 algebra.  Used by the exact full-BA pose
+    marginals (solvers/full_ba.ba_pose_marginals): diag(S^-1) of the Schur
+    system = this on the chain part + the low-rank Woodbury correction.
+    Reference anchor: GTSAM QR ``Marginals`` (optimizer.cpp:956).
+    """
+    P = D.shape[0]
+    if P == 1:
+        return jnp.linalg.inv(D)
+
+    def inv6(A):
+        return jnp.linalg.inv(A)
+
+    def fwd(S_inv_prev, inp):
+        Di, Ui_prev = inp
+        Si = Di - Ui_prev.T @ S_inv_prev @ Ui_prev
+        S_inv = inv6(Si)
+        return S_inv, S_inv
+
+    S0 = inv6(D[0])
+    _, S_rest = jax.lax.scan(fwd, S0, (D[1:], U))
+    S_invs = jnp.concatenate([S0[None], S_rest])  # (P, 6, 6)
+
+    def bwd(Sigma_next, inp):
+        S_inv_i, Ui = inp
+        M = S_inv_i @ Ui
+        Sigma_i = S_inv_i + M @ Sigma_next @ M.T
+        return Sigma_i, Sigma_i
+
+    _, Sig_rest = jax.lax.scan(bwd, S_invs[-1], (S_invs[:-1], U), reverse=True)
+    return jnp.concatenate([Sig_rest, S_invs[-1][None]])

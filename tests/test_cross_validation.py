@@ -199,7 +199,7 @@ def _make_pose_graph(P=14, n_lc=3, seed=0):
 
 
 class TestPoseGraphVsScipy:
-    @pytest.mark.parametrize("precond", ["auto", "direct"])
+    @pytest.mark.parametrize("precond", ["auto", "direct", "chain"])
     def test_same_fixed_point(self, precond):
         """solve_pose_graph and scipy TRF reach the same optimum of the
         identical whitened residual (SURVEY §7: iSAM2 semantics without iSAM2).
@@ -345,7 +345,7 @@ def _tangent_resid_ba(prob, kp_cfg):
 
 
 class TestFullBAVsScipy:
-    @pytest.mark.parametrize("precond", ["auto", "direct"])
+    @pytest.mark.parametrize("precond", ["auto", "direct", "chain"])
     def test_same_fixed_point(self, precond):
         """solve_full_ba and scipy TRF agree on the joint pose+landmark optimum,
         and both improve on DR identically.  Covers both the PCG path ("auto")

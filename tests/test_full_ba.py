@@ -96,25 +96,34 @@ class TestDirectStep:
         )
 
 
-class TestPoseVariances:
-    @pytest.mark.slow
-    def test_variances_sane_and_grow_with_distance(self, tie_survey):
-        """Hutchinson pose variances: positive, zero at the gauge, and growing
-        away from the anchored start of the chain (drift accumulates)."""
+class TestPoseMarginals:
+    def test_exact_vs_dense_inversion(self):
+        """ba_pose_marginals (Takahashi selected inversion + Woodbury
+        correction) must equal the pose blocks of the DENSE inverse of the
+        gauge-fixed robustified Gauss-Newton Hessian on a small problem."""
         import jax
+        import jax.numpy as jnp
 
         from diasss_tpu.config import FullBAConfig, KeypointNoiseConfig
+        from diasss_tpu.factors.sss_point import kp_noise_sigmas
         from diasss_tpu.pairs import get_kps_pairs
         from diasss_tpu.pipeline import _overlap_pairs
         from diasss_tpu.solvers.full_ba import (
+            _endpoint_poses,
+            _huber_weight,
+            _sss_factor_terms,
+            ba_pose_marginals,
             build_ba_problem,
-            estimate_pose_variances,
             solve_full_ba,
         )
+        from diasss_tpu.solvers.pose_graph import _linearize_between
 
+        survey = make_survey(n_lines=2, n_pings=40, n_bins=256, n_landmarks=25,
+                             n_tie_lines=1, seed=4)
         frames = [
-            build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
-            for l in tie_survey.lines
+            build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes,
+                           l.ground_ranges, l.annos)
+            for l in survey.lines
         ]
         pair_ids = _overlap_pairs(frames, 0.1)
         kps = {
@@ -128,18 +137,122 @@ class TestPoseVariances:
         }
         ba = FullBAConfig()
         kp_cfg = KeypointNoiseConfig()
-        prob = build_ba_problem(frames, kps, pair_ids, ba, PipelineConfig().pose_graph, None)
-        poses, lms, info = solve_full_ba(prob, ba, kp_cfg)
-        var = np.asarray(
-            estimate_pose_variances(prob, poses, lms, jax.random.PRNGKey(0), ba, kp_cfg, 8)
+        prob = build_ba_problem(frames, kps, pair_ids, ba,
+                                PipelineConfig().pose_graph, None)
+        poses, lms, _ = solve_full_ba(prob, ba, kp_cfg)
+        cov = np.asarray(ba_pose_marginals(prob, poses, lms, ba, kp_cfg))
+        P = int(poses.t.shape[0])
+        K = int(prob.kp_i.shape[0])
+        assert cov.shape == (P, 6, 6)
+        assert np.allclose(cov[0], 0.0)  # gauge
+        # symmetric positive(ish) diagonals
+        assert np.allclose(cov, cov.transpose(0, 2, 1), atol=1e-6)
+        assert np.all(cov[1:, np.arange(6), np.arange(6)] > 0)
+
+        # dense reference: assemble the full (6P + 3K) robustified GN
+        # Hessian from the SAME linearization, pin the gauge, invert
+        sig_s = jax.vmap(lambda sr: kp_noise_sigmas(
+            sr, kp_cfg.sigma_r, kp_cfg.alpha_bw_deg))(prob.kp_sr_s)
+        sig_t = jax.vmap(lambda sr: kp_noise_sigmas(
+            sr, kp_cfg.sigma_r, kp_cfg.alpha_bw_deg))(prob.kp_sr_t)
+        idx_a = jnp.arange(P - 1)
+        idx_b = jnp.arange(1, P)
+        _, Ja, Jb = jax.vmap(_linearize_between)(
+            poses[idx_a], poses[idx_b], prob.odo_meas,
+            jnp.broadcast_to(prob.odo_sigmas, (P - 1, 6)),
         )
-        assert var.shape == (poses.t.shape[0], 6)
-        assert np.all(var >= 0)
-        assert np.allclose(var[0], 0.0)  # gauge
-        # translation uncertainty grows from the anchored start toward the end
-        txy_early = var[1:50, 3:5].mean()
-        txy_late = var[-50:, 3:5].mean()
-        assert txy_late > txy_early, (txy_early, txy_late)
+        pi, pj = _endpoint_poses(poses, prob)
+        r_s, Jp_s, Jl_s = jax.vmap(_sss_factor_terms)(pi, lms, prob.kp_sr_s, sig_s)
+        r_t, Jp_t, Jl_t = jax.vmap(_sss_factor_terms)(pj, lms, prob.kp_sr_t, sig_t)
+        v = np.asarray(prob.kp_valid)
+        w_s = np.asarray(_huber_weight(jnp.sum(jnp.where(
+            prob.kp_valid[:, None], r_s, 0.0) ** 2, axis=-1), ba.huber_delta))
+        w_t = np.asarray(_huber_weight(jnp.sum(jnp.where(
+            prob.kp_valid[:, None], r_t, 0.0) ** 2, axis=-1), ba.huber_delta))
+        n = 6 * P + 3 * K
+        H = np.zeros((n, n))
+        Ja, Jb = np.asarray(Ja, np.float64), np.asarray(Jb, np.float64)
+        for k in range(P - 1):
+            Haa = Ja[k].T @ Ja[k]; Hbb = Jb[k].T @ Jb[k]; Hab = Ja[k].T @ Jb[k]
+            H[6*k:6*k+6, 6*k:6*k+6] += Haa
+            H[6*(k+1):6*(k+1)+6, 6*(k+1):6*(k+1)+6] += Hbb
+            H[6*k:6*k+6, 6*(k+1):6*(k+1)+6] += Hab
+            H[6*(k+1):6*(k+1)+6, 6*k:6*k+6] += Hab.T
+        Jp_s = np.asarray(Jp_s, np.float64) * (w_s * v)[:, None, None]
+        Jp_t = np.asarray(Jp_t, np.float64) * (w_t * v)[:, None, None]
+        Jl_s = np.asarray(Jl_s, np.float64) * (w_s * v)[:, None, None]
+        Jl_t = np.asarray(Jl_t, np.float64) * (w_t * v)[:, None, None]
+        ki = np.asarray(prob.kp_i)
+        kj = np.asarray(prob.kp_j)
+        sig_pr = np.asarray(prob.lm_prior_sigmas)
+        for k in range(K):
+            for (idx, Jp, Jl) in ((ki[k], Jp_s[k], Jl_s[k]), (kj[k], Jp_t[k], Jl_t[k])):
+                p6 = slice(6 * idx, 6 * idx + 6)
+                l3 = slice(6 * P + 3 * k, 6 * P + 3 * k + 3)
+                H[p6, p6] += Jp.T @ Jp
+                H[l3, l3] += Jl.T @ Jl
+                H[p6, l3] += Jp.T @ Jl
+                H[l3, p6] += Jl.T @ Jp
+            # landmark prior
+            l3 = slice(6 * P + 3 * k, 6 * P + 3 * k + 3)
+            H[l3, l3] += np.diag(v[k] / sig_pr**2)
+            H[l3, l3] += 1e-6 * np.eye(3)
+        # gauge: pose 0 pinned
+        H[:6, :] = 0.0
+        H[:, :6] = 0.0
+        H[:6, :6] = np.eye(6)
+        # chain jitter used by the marginal computation
+        for p in range(P):
+            H[6*p:6*p+6, 6*p:6*p+6] += 1e-6 * np.eye(6)
+        Hinv = np.linalg.inv(H)
+        ref = np.stack([Hinv[6*p:6*p+6, 6*p:6*p+6] for p in range(P)])
+        ref[0] = 0.0
+        scale = np.abs(ref).max()
+        assert np.abs(cov - ref).max() < 1e-3 * scale, (
+            np.abs(cov - ref).max(), scale)
+
+    def test_k_cols_trim_matches_full(self):
+        """Trimming the Woodbury width to the valid count must not change
+        the marginals (padding tail carries exactly-zero columns)."""
+        from diasss_tpu.config import FullBAConfig, KeypointNoiseConfig
+        from diasss_tpu.pairs import get_kps_pairs
+        from diasss_tpu.pipeline import _overlap_pairs
+        from diasss_tpu.solvers.full_ba import (
+            ba_pose_marginals,
+            build_ba_problem,
+            solve_full_ba,
+        )
+
+        survey = make_survey(n_lines=2, n_pings=40, n_bins=256, n_landmarks=20,
+                             n_tie_lines=0, seed=6)
+        frames = [
+            build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes,
+                           l.ground_ranges, l.annos)
+            for l in survey.lines
+        ]
+        pair_ids = _overlap_pairs(frames, 0.1)
+        kps = {
+            k: get_kps_pairs(
+                frames[k[0]].annos, frames[k[1]].img_id,
+                np.asarray(frames[k[0]].altitudes), np.asarray(frames[k[0]].ground_ranges),
+                np.asarray(frames[k[1]].altitudes), np.asarray(frames[k[1]].ground_ranges),
+                use_anno=True,
+            )
+            for k in pair_ids
+        }
+        ba = FullBAConfig()
+        kp_cfg = KeypointNoiseConfig()
+        prob = build_ba_problem(frames, kps, pair_ids, ba,
+                                PipelineConfig().pose_graph, None)
+        poses, lms, _ = solve_full_ba(prob, ba, kp_cfg)
+        n_valid = int(np.asarray(prob.kp_valid).sum())
+        K = int(prob.kp_i.shape[0])
+        if n_valid == K:
+            pytest.skip("no padding tail at this scale")
+        full = np.asarray(ba_pose_marginals(prob, poses, lms, ba, kp_cfg))
+        trim = np.asarray(ba_pose_marginals(prob, poses, lms, ba, kp_cfg,
+                                            k_cols=n_valid))
+        np.testing.assert_allclose(trim, full, rtol=0, atol=1e-5)
 
 
 @pytest.mark.slow

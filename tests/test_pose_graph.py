@@ -214,10 +214,17 @@ class TestDenseSegPreconditioner:
         )
         cfg_t = PoseGraphConfig(max_gn_iters=10, preconditioner="tridiag", tridiag_segment=32)
         cfg_d = dataclasses.replace(cfg_t, preconditioner="dense_seg")
+        cfg_c = dataclasses.replace(cfg_t, preconditioner="chain")
         p_t, i_t = solve_pose_graph(g, cfg_t)
         p_d, i_d = solve_pose_graph(g, cfg_d)
         np.testing.assert_allclose(np.asarray(p_d.t), np.asarray(p_t.t), atol=1e-3)
         assert abs(float(i_d.error) - float(i_t.error)) < 1e-2 * max(float(i_t.error), 1.0)
+        # the round-5 EXACT chain preconditioner reaches the same optimum
+        # with no more CG iterations than the segmented approximation
+        p_c, i_c = solve_pose_graph(g, cfg_c)
+        np.testing.assert_allclose(np.asarray(p_c.t), np.asarray(p_t.t), atol=1e-3)
+        assert int(i_c.cg_iters_total) <= int(i_d.cg_iters_total), (
+            int(i_c.cg_iters_total), int(i_d.cg_iters_total))
 
 
 class TestDampingSweep:
