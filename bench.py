@@ -82,6 +82,56 @@ def reference_stream_proxy(n_pings: int = 3000) -> float:
     return n_pings / dt
 
 
+def reference_auto_proxy(survey, pair_count: int, n_pings_total: int) -> float:
+    """Measured pings/s of a CPU proxy for the reference's DETECTED pipeline
+    at the auto bench point (VERDICT r4 item 6): per frame, OpenCV SIFT
+    detect+compute on the normalized 8-bit image (the reference's live
+    detector output is SIFT descriptors from its vendored ORBextractor —
+    ORBextractor.cpp:1043-1047, 2000 features, frame.cpp:180); per
+    overlapping pair, a brute-force L2 2-NN match + the 0.35 ratio test
+    (FEAmatcher.cpp:105-138); plus the per-ping iSAM2-stream estimation
+    proxy (:func:`reference_stream_proxy`).
+
+    Deliberately GENEROUS to the reference, like the stream proxy: no
+    per-correspondence LoopClosingTFs LM solves (the reference pays one 2-LM
+    solve + QR marginals PER MATCH, optimizer.cpp:690-965), no SCC RANSAC
+    (1000 hypotheses/pair), no geo-gating bookkeeping, and OpenCV's default
+    multithreading is left ON while the reference is single-threaded.
+    Returns None if opencv-python is unavailable (vs_baseline_auto = null).
+    """
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover - env-dependent
+        return None
+    from diasss_tpu.config import NormalizeConfig
+    from diasss_tpu.frame import _normalize_sss_np
+
+    imgs = _normalize_sss_np(
+        np.stack([l.image for l in survey.lines]).astype(np.float32),
+        NormalizeConfig(),
+    )
+    sift = cv2.SIFT_create(nfeatures=2000)
+    t0 = time.perf_counter()
+    feats = [sift.detectAndCompute(im, None) for im in imgs]
+    bf = cv2.BFMatcher(cv2.NORM_L2)
+    F = len(feats)
+    done = 0
+    for i in range(F):
+        for j in range(i + 1, F):
+            if done >= pair_count:
+                break
+            da, db = feats[i][1], feats[j][1]
+            if da is None or db is None or len(da) < 2 or len(db) < 2:
+                continue
+            knn = bf.knnMatch(da, db, k=2)
+            _ = [m for m, n2 in knn if m.distance < 0.35 * n2.distance]
+            done += 1
+    dt_feat = time.perf_counter() - t0
+    stream_rate = reference_stream_proxy(min(n_pings_total, 3000))
+    total = dt_feat + n_pings_total / stream_rate
+    return n_pings_total / total
+
+
 _probe_jit = None
 
 
@@ -211,12 +261,26 @@ def main():
     # --- fully-automatic pipeline (ZERO annotations): detect -> dense
     # world-correlation match -> joint BA + drift-compensated re-match ---
     rauto = dict(pings_per_sec=nan, ate_est=nan, ate_dr=nan, timings={})
+    baseline_auto = None
     try:
         rauto = run(n_lines=3, n_pings=400, n_tie_lines=1, n_landmarks=200,
                     n_passes=2, cfg=automatic_config(), with_gt=True,
                     drift_xy=0.006, seed=7)
         print(f"auto: {rauto['pings_per_sec']:.0f} pings/s  ate {rauto['ate_dr']:.2f}->{rauto['ate_est']:.2f}\n"
               f"    timings {rauto['timings']}", file=sys.stderr)
+        # measured CPU proxy of the reference's DETECTED pipeline on the
+        # same survey (SIFT detect + ratio-test NN match + iSAM2 stream)
+        from diasss_tpu.synthetic import make_survey
+
+        auto_survey = make_survey(n_lines=3, n_pings=400, n_bins=512,
+                                  n_landmarks=200, n_tie_lines=1,
+                                  drift_xy=0.006, seed=7)
+        n_pairs = int(rauto["timings"].get("eval_stacked_pairs", 6))
+        baseline_auto = reference_auto_proxy(
+            auto_survey, n_pairs, rauto["total_pings"])
+        if baseline_auto:
+            print(f"auto reference proxy: {baseline_auto:.1f} pings/s "
+                  f"(vs {rauto['pings_per_sec']:.0f})", file=sys.stderr)
     except Exception as e:  # pragma: no cover - defensive
         print(f"auto bench FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -263,6 +327,11 @@ def main():
                 "ate_full_ba": rnd(rba["ate_est"]),
                 "ate_dr_full_ba": rnd(rba["ate_dr"]),
                 "value_auto": rnd(rauto["pings_per_sec"], 2),
+                "vs_baseline_auto": (
+                    rnd(rauto["pings_per_sec"] / baseline_auto)
+                    if baseline_auto else None
+                ),
+                "baseline_proxy_auto": rnd(baseline_auto, 2) if baseline_auto else None,
                 "ate_auto": rnd(rauto["ate_est"]),
                 "ate_dr_auto": rnd(rauto["ate_dr"]),
                 "solver_3k": solver_kinds(r3k),

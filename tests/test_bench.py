@@ -55,3 +55,14 @@ def test_reference_stream_proxy_positive():
 
     v = bench.reference_stream_proxy(300)
     assert v > 0
+
+
+def test_reference_auto_proxy_runs():
+    """The detected-pipeline CPU proxy (vs_baseline_auto denominator) must
+    produce a positive rate on a small survey, or None without opencv."""
+    import bench
+    from diasss_tpu.synthetic import make_survey
+
+    s = make_survey(n_lines=2, n_pings=120, n_bins=256, n_landmarks=30, seed=1)
+    r = bench.reference_auto_proxy(s, 1, 240)
+    assert r is None or r > 0
