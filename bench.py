@@ -158,7 +158,8 @@ def _sync_uploads(frames):
         _probe_jit = _probe
     arrs = []
     for f in frames:
-        arrs += [f.norm, f.mask, f.geo]
+        # host_imagery keeps norm/mask host-side (no upload to wait on)
+        arrs += [a for a in (f.norm, f.mask, f.geo) if isinstance(a, jax.Array)]
     float(_probe_jit(*arrs))
 
 
@@ -189,6 +190,9 @@ def run(n_lines=5, n_pings=600, n_bins=512, n_landmarks=60, n_passes=3,
             [(l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
              for l in survey.lines],
             host_preprocess=True,
+            # annotation-driven configs never read imagery on device; keep
+            # it host-side (6.9 MB of upload at the 12k point — PERF r5)
+            host_imagery=bool(cfg.pose_graph.use_anno),
         )
         stage["keyframes_host"] = time.perf_counter() - t_start
         t0 = time.perf_counter()

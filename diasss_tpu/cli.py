@@ -138,6 +138,10 @@ def main(argv=None) -> int:
         args.image, args.pose, args.altitude, args.groundrange, args.annotation,
         detector_cfg=None if (use_anno or args.online) else pipe_cfg.detector,
         host_preprocess=not args.no_host_preprocess,
+        # annotation-driven batch runs never read imagery in device programs;
+        # keep it host-side and skip the upload (frame.host_imagery)
+        host_imagery=(not args.no_host_preprocess) and use_anno
+        and not args.online,
     )
     wall = time.perf_counter() - t0
     print(

@@ -32,6 +32,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -129,7 +130,9 @@ def attach_geo_patch_descriptors_batch(feats_list, norm_list, geo_list, cfg):
             nm, ge, xy, half=cfg.geopatch_half, res=cfg.geopatch_res
         )
     )(
-        jnp.stack(list(norm_list)),
+        (jnp.asarray(np.stack(list(norm_list)))
+         if isinstance(norm_list[0], np.ndarray)  # host imagery: one upload
+         else jnp.stack(list(norm_list))),
         jnp.stack(list(geo_list)),
         jnp.stack([f.xy for f in feats_list]),
     )

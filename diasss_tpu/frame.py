@@ -36,8 +36,12 @@ class Keyframe(NamedTuple):
     # downstream device program reads it — only the optional mosaic, which
     # uploads it lazily).
     raw: jnp.ndarray
-    norm: jnp.ndarray  # (N, M) uint8 normalized image
-    mask: jnp.ndarray  # (N, M) bool keypoint-validity mask
+    # (N, M) uint8 normalized image / (N, M) bool keypoint-validity mask.
+    # Device-resident by default; with host_imagery=True (annotation-driven
+    # pipelines, which never read imagery in device programs) these stay
+    # host np.ndarrays and consumers upload lazily on first use.
+    norm: jnp.ndarray
+    mask: jnp.ndarray
     geo: jnp.ndarray  # (N, M, 2) world (x, y) per pixel
     dr_poses: jnp.ndarray  # (N, 6) dead-reckoning rows (r, p, y, x, y, z)
     altitudes: jnp.ndarray  # (N,)
@@ -115,12 +119,13 @@ def build_keyframe(
     mask_cfg: MaskConfig = MaskConfig(),
     dtype=jnp.float32,
     host_preprocess: bool = False,
+    host_imagery: bool = False,
 ) -> Keyframe:
     """Assemble a Keyframe: upload tensors, run the preprocessing ops.
 
     Equivalent of the reference Frame constructor (frame.cpp:18-55) minus feature
     detection (attached separately by the feature pipeline).
-    ``host_preprocess``: see :func:`build_keyframes_batch`.
+    ``host_preprocess`` / ``host_imagery``: see :func:`build_keyframes_batch`.
     """
     from .geometry import sonar
 
@@ -131,9 +136,14 @@ def build_keyframe(
     if host_preprocess:
         raw_np = np.asarray(raw)[None]
         n, m = raw_np.shape[1], raw_np.shape[2]
-        norm = jnp.asarray(_normalize_sss_np(raw_np, norm_cfg)[0])
-        packed = np.packbits(_filtered_mask_np(raw_np, mask_cfg).reshape(1, -1), axis=1)
-        mask = _unpack_mask(jnp.asarray(packed), n, m)[0]
+        norm_np = _normalize_sss_np(raw_np, norm_cfg)[0]
+        mask_np = _filtered_mask_np(raw_np, mask_cfg)[0]
+        if host_imagery:
+            norm, mask = norm_np, mask_np  # host-resident (lazy upload)
+        else:
+            norm = jnp.asarray(norm_np)
+            packed = np.packbits(mask_np.reshape(1, -1), axis=1)
+            mask = _unpack_mask(jnp.asarray(packed), n, m)[0]
         geo = _geo_batch(poses_j[None], grs_j[None], m)[0]
         raw_j = np.asarray(raw, np.float32)  # host-resident (see Keyframe.raw)
     else:
@@ -283,6 +293,7 @@ def build_keyframes_batch(
     mask_cfg: MaskConfig = MaskConfig(),
     dtype=jnp.float32,
     host_preprocess: bool = False,
+    host_imagery: bool = False,
 ):
     """Batched :func:`build_keyframe`: ``items`` is a list of
     ``(img_id, raw, dr_poses, altitudes, ground_ranges, annos)`` tuples.
@@ -301,11 +312,23 @@ def build_keyframes_batch(
     downstream device program reads ``raw`` (only the optional mosaic, which
     uploads lazily).  Values match the device path except where the
     frame-wide min/mean reductions differ in the last ulp.
+
+    ``host_imagery=True`` (requires host_preprocess) additionally keeps the
+    normalized image AND the mask HOST-resident (numpy): the annotation-
+    driven pipeline (USE_ANNO=1, the reference default) never reads imagery
+    in any device program — only detection/dense matching do — so uploading
+    it is pure transfer waste (6.9 MB at the 12k bench point, roughly half
+    the non-solve wall through the tunnel; PERF.md round 5).  Consumers
+    that DO need imagery upload it on first use (jnp ops auto-convert; the
+    stacked matchers np.stack host batches into one transfer), so a
+    detected-mode run with host_imagery on still works, just with a lazier
+    upload.
     """
     shapes = {(np.shape(it[1]), np.shape(it[2]), np.shape(it[3])) for it in items}
     if len(shapes) != 1:
         return [build_keyframe(*it, norm_cfg=norm_cfg, mask_cfg=mask_cfg, dtype=dtype,
-                               host_preprocess=host_preprocess)
+                               host_preprocess=host_preprocess,
+                               host_imagery=host_imagery)
                 for it in items]
     poses = jnp.asarray(np.stack([it[2] for it in items]), dtype)
     grs = jnp.asarray(np.stack([it[4] for it in items]), dtype)
@@ -318,9 +341,12 @@ def build_keyframes_batch(
         f, n, m = raws_np.shape[0], raws_np.shape[1], raws_np.shape[2]
         norms_np = _normalize_sss_np(raws_np, norm_cfg)
         masks_np = _filtered_mask_np(raws_np, mask_cfg)
-        packed = np.packbits(masks_np.reshape(f, -1), axis=1)
-        norms = jnp.asarray(norms_np)
-        masks = _unpack_mask(jnp.asarray(packed), n, m)
+        if host_imagery:
+            norms, masks = norms_np, masks_np  # host-resident (lazy upload)
+        else:
+            packed = np.packbits(masks_np.reshape(f, -1), axis=1)
+            norms = jnp.asarray(norms_np)
+            masks = _unpack_mask(jnp.asarray(packed), n, m)
         geos = _geo_batch(poses, grs, m)
         raws = raws_np.astype(np.float32, copy=False)  # host-resident (see Keyframe.raw)
     else:

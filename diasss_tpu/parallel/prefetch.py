@@ -94,6 +94,7 @@ def load_keyframes_pipelined(
     use_native: bool = True,
     depth: int = 2,
     host_preprocess: bool = False,
+    host_imagery: bool = False,
 ):
     """Load a survey folder set with IO/compute overlap; returns
     ``(frames, feats_or_None, timings)``.
@@ -144,7 +145,8 @@ def load_keyframes_pipelined(
     feats = [] if detector_cfg is not None else None
     for i, img, pose, alt, gr, anno in prefetch_iter(thunks, depth=depth):
         f = build_keyframe(i, img, pose, alt, gr, anno,
-                           host_preprocess=host_preprocess)
+                           host_preprocess=host_preprocess,
+                           host_imagery=host_imagery)
         frames.append(f)
         if detector_cfg is not None:
             from ..features import detect_features

@@ -798,7 +798,11 @@ def run_slam(
 
         t0 = time.perf_counter()
         kps_pairs, cap = _assemble_pairs(frames, corres_rows, pair_ids, cfg, use_anno)
-        timings["kps_pairs"] = timings.get("kps_pairs", 0.0) + time.perf_counter() - t0
+        # NOTE the name must not end in "_pairs": that suffix marks COUNTERS
+        # excluded from wall sums, and this stage TIME was silently dropped
+        # from the bench coverage fraction for three rounds (the mystery
+        # ~0.06 s of "unattributed" 3k wall — VERDICT r4 item 7)
+        timings["kps_assembly"] = timings.get("kps_assembly", 0.0) + time.perf_counter() - t0
 
         if cfg.estimator == "full_ba":
             poses, info, n_acc, ba_prob, ba_lms = _solve_full_ba(

@@ -390,3 +390,51 @@ def test_full_ba_marginals_wired(small_survey, tmp_path):
     dump = tmp_path / "est_pose_sigmas_all.txt"
     assert dump.exists()
     assert np.loadtxt(dump).shape == (P, 6)
+
+
+def test_host_imagery_annotation_parity_and_lazy_upload(small_survey):
+    """host_imagery=True keeps norm/mask HOST-resident (the annotation path
+    never reads imagery on device — skipping the upload is pure win through
+    a tunneled link), with identical results; the detected/dense path still
+    works by uploading lazily on first use."""
+    import dataclasses
+
+    import jax
+
+    from diasss_tpu.config import DetectorConfig, MatcherConfig, PoseGraphConfig
+    from diasss_tpu.frame import build_keyframes_batch
+
+    items = [
+        (l.img_id, l.image, l.dr_poses, l.altitudes, l.ground_ranges, l.annos)
+        for l in small_survey.lines
+    ]
+    dev = build_keyframes_batch(items, host_preprocess=True)
+    host = build_keyframes_batch(items, host_preprocess=True, host_imagery=True)
+    for h in host:
+        assert isinstance(h.norm, np.ndarray) and not isinstance(h.norm, jax.Array)
+        assert isinstance(h.mask, np.ndarray) and not isinstance(h.mask, jax.Array)
+        assert isinstance(h.geo, jax.Array)  # geo IS read by device programs
+    for d, h in zip(dev, host):
+        np.testing.assert_array_equal(np.asarray(d.norm), h.norm)
+        np.testing.assert_array_equal(np.asarray(d.mask), h.mask)
+
+    gt = [l.gt_poses for l in small_survey.lines]
+    r_dev = run_slam(dev, PipelineConfig(), gt_rows_list=gt, run_eval2=False)
+    r_host = run_slam(host, PipelineConfig(), gt_rows_list=gt, run_eval2=False)
+    np.testing.assert_array_equal(
+        np.asarray(r_dev.poses.t), np.asarray(r_host.poses.t)
+    )
+    assert r_dev.ate_est == r_host.ate_est
+
+    # detected + dense path on host imagery: lazy upload, still solves
+    cfg = dataclasses.replace(
+        PipelineConfig(),
+        min_overlap=0.1,
+        estimator="full_ba",
+        detector=DetectorConfig(descriptor="geo_patch", n_features=400),
+        matcher=MatcherConfig(mode="dense"),
+        pose_graph=dataclasses.replace(PoseGraphConfig(), use_anno=False),
+    )
+    r_det = run_slam(host, cfg, gt_rows_list=gt, run_eval2=False)
+    assert r_det.timings.get("match_stacked_pairs", 0) >= 2
+    assert np.isfinite(r_det.ate_est)
