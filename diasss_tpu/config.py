@@ -371,8 +371,18 @@ def automatic_config(drift_budget: float = 4.0) -> PipelineConfig:
     full-BA estimation with the DR geo-discrepancy gate, and drift-compensated
     re-matching.
 
-    ``drift_budget``: largest credible DR drift between overlapping lines (m) —
-    sets the first-pass geo-discrepancy gate.
+    ``drift_budget``: largest credible DR drift between overlapping lines (m)
+    — sets the first-pass geo-discrepancy gate AND (via the search radius)
+    how far the dense matcher looks.  SET IT TO THE MISSION: measured on an
+    18+2-line, 8000-ping survey whose accumulated drift (ATE_DR 12.9 m) was
+    3x the default budget, the default-config automatic run DEGRADED the
+    trajectory (13.6 m — the gate rejects true matches and aliased
+    survivors mislead the solve) while drift_budget=8 improved it to
+    10.8 m; the same survey solves to 6.4 m from annotations (the estimator
+    scales — the budget is a matching constraint, PERF.md round 5).  An
+    out-of-budget mission is observable at runtime: the
+    ``rematch_saturated_rounds`` counter fires when the measured residual
+    wants more search extent than the budget allows.
     """
     return PipelineConfig(
         min_overlap=0.1,  # admit tie-line crossings (main-vs-tie IoU ~0.2)

@@ -395,7 +395,7 @@ class TestAdaptiveRematch:
 
         # pose-delta stop: identical consecutive solves -> matches cannot change
         t_prev = np.asarray(poses.t)
-        stop, _, _, _ = _rematch_plan(poses, t_prev, {}, [], [], cfg)
+        stop, _, _, _, _ = _rematch_plan(poses, t_prev, {}, [], [], cfg)
         assert stop
 
         # adaptive shrink: a geo field whose matches disagree by ~2 m must
@@ -409,16 +409,27 @@ class TestAdaptiveRematch:
         rows[:, 0] = rows[:, 3] = np.arange(32) % N
         rows[:, 1] = rows[:, 4] = np.arange(32) % M
         kp = KpsPairs(rows, np.ones(32, bool))
-        stop, radius, cells, _ = _rematch_plan(
+        stop, radius, cells, _, saturated = _rematch_plan(
             poses, None, {(0, 1): kp}, [(0, 1)],
             [jnp.asarray(g0), jnp.asarray(g1)], cfg,
         )
         assert not stop
         assert cells == 8 and radius == 8 * res, (cells, radius)
+        assert not saturated
+
+        # budget saturation: a discrepancy needing more extent than the cap
+        # must flag the mission as out of drift budget
+        g1s = g0 + np.asarray([8.0, 0.0], np.float32)
+        stop, radius, cells, _, saturated = _rematch_plan(
+            poses, None, {(0, 1): kp}, [(0, 1)],
+            [jnp.asarray(g0), jnp.asarray(g1s)], cfg,
+        )
+        assert not stop and saturated
+        assert cells == int(np.ceil(cfg.rematch_geo_radius / res))
 
         # residual-floor stop: sub-cell discrepancy -> stop
         g1f = g0 + np.asarray([0.3, 0.0], np.float32)
-        stop, _, _, _ = _rematch_plan(
+        stop, _, _, _, _ = _rematch_plan(
             poses, None, {(0, 1): kp}, [(0, 1)],
             [jnp.asarray(g0), jnp.asarray(g1f)], cfg,
         )
