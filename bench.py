@@ -92,17 +92,26 @@ def reference_auto_proxy(survey, pair_count: int, n_pings_total: int) -> float:
     (FEAmatcher.cpp:105-138); plus the per-ping iSAM2-stream estimation
     proxy (:func:`reference_stream_proxy`).
 
-    Deliberately GENEROUS to the reference, like the stream proxy: no
-    per-correspondence LoopClosingTFs LM solves (the reference pays one 2-LM
-    solve + QR marginals PER MATCH, optimizer.cpp:690-965), no SCC RANSAC
+    Includes the reference's PROCESS-LEVEL HOT SPOT (SURVEY §3.4): one
+    LM mini-solve (2 poses + landmark, ~20 damped normal-equation
+    iterations), one triangulation solve, and one QR marginal PER accepted
+    match (optimizer.cpp:690-965) — priced at the proxy's OWN measured
+    match yield.  Still GENEROUS like the stream proxy: no SCC RANSAC
     (1000 hypotheses/pair), no geo-gating bookkeeping, and OpenCV's default
     multithreading is left ON while the reference is single-threaded.
-    Returns None if opencv-python is unavailable (vs_baseline_auto = null).
+
+    Returns ``(pings_per_sec, n_matches_total)`` — the yield is reported
+    alongside the rate because speed without matches corrects no drift:
+    SIFT ratio-matching across independent-speckle passes finds a handful
+    of correspondences where the dense world-correlation matcher finds
+    hundreds (the repeatability wall NOTES_ROUND1 measured), so the
+    reference-shaped pipeline's throughput at this scale buys ~no accuracy.
+    Returns (None, None) if opencv-python is unavailable.
     """
     try:
         import cv2
     except ImportError:  # pragma: no cover - env-dependent
-        return None
+        return None, None
     from diasss_tpu.config import NormalizeConfig
     from diasss_tpu.frame import _normalize_sss_np
 
@@ -116,6 +125,7 @@ def reference_auto_proxy(survey, pair_count: int, n_pings_total: int) -> float:
     bf = cv2.BFMatcher(cv2.NORM_L2)
     F = len(feats)
     done = 0
+    n_matches = 0
     for i in range(F):
         for j in range(i + 1, F):
             if done >= pair_count:
@@ -124,12 +134,24 @@ def reference_auto_proxy(survey, pair_count: int, n_pings_total: int) -> float:
             if da is None or db is None or len(da) < 2 or len(db) < 2:
                 continue
             knn = bf.knnMatch(da, db, k=2)
-            _ = [m for m, n2 in knn if m.distance < 0.35 * n2.distance]
+            n_matches += len([m for m, n2 in knn
+                              if m.distance < 0.35 * n2.distance])
             done += 1
+    # per-match LoopClosingTFs replay: LM loop + triangulation + QR marginal
+    rngp = np.random.default_rng(0)
+    J = rngp.standard_normal((12, 15))
+    for _ in range(n_matches):
+        x = np.zeros(15)
+        for _i in range(20):  # optimizer.cpp:815-822 LM iterations
+            H = J.T @ J + np.eye(15)
+            x = np.linalg.solve(H, J.T @ (J @ x - 1.0))
+        for _i in range(10):  # TriangulateOneLandmark (optimizer.cpp:984)
+            np.linalg.solve(J[:3, :3].T @ J[:3, :3] + np.eye(3), np.ones(3))
+        np.linalg.qr(H)  # Marginals (optimizer.cpp:956)
     dt_feat = time.perf_counter() - t0
     stream_rate = reference_stream_proxy(min(n_pings_total, 3000))
     total = dt_feat + n_pings_total / stream_rate
-    return n_pings_total / total
+    return n_pings_total / total, n_matches
 
 
 _probe_jit = None
@@ -220,6 +242,7 @@ def run(n_lines=5, n_pings=600, n_bins=512, n_landmarks=60, n_passes=3,
         pings_per_sec=total_pings / wall,
         wall=wall,
         walls=walls,
+        n_lc=result.n_lc_accepted,
         timings=stage,
         timings_sum_frac=sum(t_only.values()) / wall,
         ate_dr=result.ate_dr,
@@ -265,7 +288,7 @@ def main():
     # --- fully-automatic pipeline (ZERO annotations): detect -> dense
     # world-correlation match -> joint BA + drift-compensated re-match ---
     rauto = dict(pings_per_sec=nan, ate_est=nan, ate_dr=nan, timings={})
-    baseline_auto = None
+    baseline_auto = baseline_auto_matches = None
     try:
         rauto = run(n_lines=3, n_pings=400, n_tie_lines=1, n_landmarks=200,
                     n_passes=2, cfg=automatic_config(), with_gt=True,
@@ -280,11 +303,13 @@ def main():
                                   n_landmarks=200, n_tie_lines=1,
                                   drift_xy=0.006, seed=7)
         n_pairs = int(rauto["timings"].get("eval_stacked_pairs", 6))
-        baseline_auto = reference_auto_proxy(
+        baseline_auto, baseline_auto_matches = reference_auto_proxy(
             auto_survey, n_pairs, rauto["total_pings"])
         if baseline_auto:
-            print(f"auto reference proxy: {baseline_auto:.1f} pings/s "
-                  f"(vs {rauto['pings_per_sec']:.0f})", file=sys.stderr)
+            print(f"auto reference proxy: {baseline_auto:.1f} pings/s, "
+                  f"{baseline_auto_matches} ratio-test matches "
+                  f"(vs {rauto['pings_per_sec']:.0f} pings/s, "
+                  f"{rauto.get('n_lc', '?')} dense matches)", file=sys.stderr)
     except Exception as e:  # pragma: no cover - defensive
         print(f"auto bench FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -336,6 +361,9 @@ def main():
                     if baseline_auto else None
                 ),
                 "baseline_proxy_auto": rnd(baseline_auto, 2) if baseline_auto else None,
+                # the proxy's own match yield: its speed corrects no drift
+                # without correspondences (see reference_auto_proxy docstring)
+                "baseline_auto_matches": baseline_auto_matches,
                 "ate_auto": rnd(rauto["ate_est"]),
                 "ate_dr_auto": rnd(rauto["ate_dr"]),
                 "solver_3k": solver_kinds(r3k),

@@ -64,5 +64,5 @@ def test_reference_auto_proxy_runs():
     from diasss_tpu.synthetic import make_survey
 
     s = make_survey(n_lines=2, n_pings=120, n_bins=256, n_landmarks=30, seed=1)
-    r = bench.reference_auto_proxy(s, 1, 240)
-    assert r is None or r > 0
+    r, n = bench.reference_auto_proxy(s, 1, 240)
+    assert (r is None and n is None) or (r > 0 and n >= 0)
