@@ -386,22 +386,21 @@ class TestFullBAVsScipy:
         assert abs(err_ours - err_scipy) < 0.1
 
     def test_marginal_variances_vs_dense_inverse(self):
-        """estimate_pose_variances (Hutchinson + PCG on the Schur complement)
-        against the exact dense marginal covariance diag of the full GN
-        Hessian (landmarks marginalized by full inversion)."""
+        """ba_pose_marginals (EXACT: Takahashi selected inversion + Woodbury
+        correction — round 5, replacing the Hutchinson estimator) against the
+        dense marginal covariance diag of the full GN Hessian built by an
+        INDEPENDENT autodiff linearization (landmarks marginalized by full
+        inversion)."""
         from diasss_tpu.config import FullBAConfig
-        from diasss_tpu.solvers.full_ba import estimate_pose_variances, solve_full_ba
+        from diasss_tpu.solvers.full_ba import ba_pose_marginals, solve_full_ba
 
         prob, _, _ = _make_ba_problem()
         kp_cfg = KeypointNoiseConfig()
         cfg = FullBAConfig(huber_delta=0.0, max_iters=60)
         poses, lms, _ = solve_full_ba(prob, cfg, kp_cfg)
 
-        var = np.asarray(
-            estimate_pose_variances(
-                prob, poses, lms, jax.random.PRNGKey(0), cfg, kp_cfg, n_probes=512
-            )
-        )
+        cov6 = np.asarray(ba_pose_marginals(prob, poses, lms, cfg, kp_cfg))
+        var = cov6[:, np.arange(6), np.arange(6)]
 
         # dense reference: full GN Hessian at the solution, invert, marginalize.
         # prob_at.lm0=lms / poses0=poses so x=0 IS the solution; lm_prior keeps
@@ -417,11 +416,12 @@ class TestFullBAVsScipy:
         var_ref = np.zeros((P, 6))
         var_ref[1:] = np.diag(cov)[: (P - 1) * 6].reshape(P - 1, 6)
 
-        # Compare entries the f32 PCG can resolve (rotation variances with the
-        # reference's 0.001-deg odometry sigmas are ~1e-9 — below the solve
-        # tolerance).  Hutchinson with 512 probes adds ~sqrt(2/512)~6% noise.
+        # exact computation, f32 solver vs f64 dense reference; compare the
+        # entries f32 can resolve (rotation variances with the reference's
+        # 0.001-deg odometry sigmas are ~1e-9 — at f32 resolution)
+        np.testing.assert_allclose(var[0], 0.0)
         m = var_ref > 1e-6
         assert m.sum() >= 40  # all translation entries of poses 1..P-1
         rel = np.abs(var[m] - var_ref[m]) / var_ref[m]
-        assert np.median(rel) < 0.2, np.median(rel)
-        assert rel.max() < 0.6, rel.max()
+        assert np.median(rel) < 0.02, np.median(rel)
+        assert rel.max() < 0.1, rel.max()
