@@ -228,6 +228,13 @@ class PoseGraphConfig:
     coarse_init_stride: int = 0
     tridiag_segment: int = 256  # segment length for the segment-parallel solve
     seed: int = 0  # initial-noise PRNG seed
+    # Compute EXACT per-pose marginal covariances of the GLOBAL two-stage
+    # solve (pose_graph.pg_pose_marginals: Takahashi selected inversion +
+    # Woodbury over the LC columns) — beyond the reference, which only ever
+    # computes marginals of the per-correspondence MINI-graphs
+    # (optimizer.cpp:956).  Same wiring as FullBAConfig.marginals:
+    # SlamResult.pose_sigmas, est_pose_sigmas_all.txt, CLI --metrics.
+    marginals: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -666,7 +666,7 @@ def _solve_two_stage(frames, geo_list, kps_pairs, pair_ids, cap, cfg, timings):
     timings[f"solver_{kind}_solves"] = timings.get(f"solver_{kind}_solves", 0) + 1
     jax.block_until_ready(poses.t)
     timings["pose_graph"] = timings.get("pose_graph", 0.0) + time.perf_counter() - t0
-    return poses, info, lc_results, n_acc
+    return poses, info, lc_results, n_acc, graph
 
 
 def _maybe_mesh(cfg):
@@ -825,7 +825,7 @@ def run_slam(
             )
             init_poses = poses
         else:
-            poses, info, lc_results, n_acc = _solve_two_stage(
+            poses, info, lc_results, n_acc, pg_graph = _solve_two_stage(
                 frames, geo_list, kps_pairs, pair_ids, cap, cfg, timings
             )
 
@@ -842,6 +842,15 @@ def run_slam(
                      max(128, -(-n_valid // 128) * 128))
         cov = ba_pose_marginals(ba_prob, poses, ba_lms, cfg.full_ba,
                                 cfg.kp_noise, k_cols=k_cols)
+        diag = jnp.diagonal(cov, axis1=1, axis2=2)
+        pose_sigmas = np.sqrt(np.maximum(np.asarray(diag), 0.0))
+        timings["pose_marginals"] = time.perf_counter() - t0
+    elif cfg.estimator != "full_ba" and cfg.pose_graph.marginals:
+        # global two-stage marginals (pg_graph is the solved chain+LC graph)
+        from .solvers.pose_graph import pg_pose_marginals
+
+        t0 = time.perf_counter()
+        cov = pg_pose_marginals(pg_graph, poses)
         diag = jnp.diagonal(cov, axis1=1, axis2=2)
         pose_sigmas = np.sqrt(np.maximum(np.asarray(diag), 0.0))
         timings["pose_marginals"] = time.perf_counter() - t0

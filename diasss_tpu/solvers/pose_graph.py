@@ -728,3 +728,76 @@ def build_chain_graph(
         lc_sigmas=jnp.asarray(lc_sigmas, jnp.float32),
         lc_valid=jnp.asarray(lc_valid, bool),
     )
+
+
+@jax.jit
+def pg_pose_marginals(graph: PoseGraph, poses: se3.Pose3) -> jnp.ndarray:
+    """(P, 6, 6) EXACT marginal covariance blocks of the pose-graph estimate
+    — the two-stage estimator's global analogue of GTSAM's QR ``Marginals``
+    (the reference only ever computes marginals of the per-correspondence
+    MINI-graphs, optimizer.cpp:956; a global trajectory covariance is beyond
+    its capability).  Mirrors :func:`..full_ba.ba_pose_marginals`:
+
+        H = T + V V^T,  diag(H^-1)_p = diag(T^-1)_p - Wv_p C^-1 Wv_p^T
+
+    with T the gauge-fixed odometry chain (Takahashi selected inversion,
+    O(P)), V the loop-closure factor columns (6 per factor — the ADDED sign,
+    so loop closures SUBTRACT uncertainty, as they must), ``Wv = T^-1 V``
+    from the same multi-RHS chain solve as the direct LM step, and
+    ``C = I + V^T T^-1 V``.  Linearized at the solution; pose 0 is the
+    gauge (zero covariance).  Exactness pinned against a dense inverse in
+    tests/test_pose_graph.py.
+    """
+    from .tridiag import (
+        block_tridiag_selected_inverse,
+        solve_block_tridiag_multi,
+        thomas_block_tridiag_multi,
+    )
+
+    P = poses.t.shape[0]
+    dtype = poses.t.dtype
+    L = int(graph.lc_i.shape[0])
+    eye6 = jnp.eye(6, dtype=dtype)
+    idx_i, idx_j, r, Ji, Jj = _build_normal_terms(poses, graph)
+
+    Ji_o, Jj_o = Ji[: P - 1], Jj[: P - 1]
+    U = jnp.einsum("fab,fac->fbc", Ji_o, Jj_o, precision=_DEFP).at[0].set(0.0)
+    D_odo = jax.ops.segment_sum(
+        jnp.einsum("fab,fac->fbc", Ji_o, Ji_o, precision=_DEFP), idx_i[: P - 1], P
+    ) + jax.ops.segment_sum(
+        jnp.einsum("fab,fac->fbc", Jj_o, Jj_o, precision=_DEFP), idx_j[: P - 1], P
+    )
+    T_diag = (D_odo + 1e-6 * eye6).at[0].set(eye6)  # gauge: pose 0 pinned
+    diagT = block_tridiag_selected_inverse(T_diag, U)
+    if L == 0:
+        return diagT.at[0].set(0.0)
+
+    # LC columns; blocks touching the gauge pose vanish (as in the direct step)
+    Ji_l = jnp.where((graph.lc_i == 0)[:, None, None], 0.0, Ji[P - 1 :])
+    Jj_l = jnp.where((graph.lc_j == 0)[:, None, None], 0.0, Jj[P - 1 :])
+    onehot_i = (graph.lc_i[:, None] == jnp.arange(P)[None, :]).astype(dtype)
+    onehot_j = (graph.lc_j[:, None] == jnp.arange(P)[None, :]).astype(dtype)
+    V = jnp.einsum(
+        "lp,lba->pbla", onehot_i, jnp.swapaxes(Ji_l, -1, -2), precision=_DEFP
+    ) + jnp.einsum(
+        "lp,lba->pbla", onehot_j, jnp.swapaxes(Jj_l, -1, -2), precision=_DEFP
+    )
+    multi_solve = (
+        solve_block_tridiag_multi
+        if jax.default_backend() == "tpu"
+        else thomas_block_tridiag_multi
+    )
+    Wv = multi_solve(T_diag, U, V.reshape(P, 6, 6 * L))  # (P, 6, 6L)
+    AW = jnp.einsum(
+        "lab,lbr->lar", Ji_l, Wv[graph.lc_i], precision=_DEFP
+    ) + jnp.einsum("lab,lbr->lar", Jj_l, Wv[graph.lc_j], precision=_DEFP)
+    C = AW.reshape(6 * L, 6 * L) + jnp.eye(6 * L, dtype=dtype)
+    Lc = jnp.linalg.cholesky(0.5 * (C + C.T))
+    Z = jax.scipy.linalg.solve_triangular(
+        Lc, Wv.reshape(P * 6, 6 * L).T, lower=True
+    )  # (6L, 6P)
+    corr = jnp.einsum(
+        "kpa,kpb->pab", Z.reshape(6 * L, P, 6), Z.reshape(6 * L, P, 6),
+        precision=_DEFP,
+    )
+    return (diagT - corr).at[0].set(0.0)

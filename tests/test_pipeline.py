@@ -438,3 +438,29 @@ def test_host_imagery_annotation_parity_and_lazy_upload(small_survey):
     r_det = run_slam(host, cfg, gt_rows_list=gt, run_eval2=False)
     assert r_det.timings.get("match_stacked_pairs", 0) >= 2
     assert np.isfinite(r_det.ate_est)
+
+
+def test_two_stage_marginals_wired(small_survey, tmp_path):
+    """PoseGraphConfig.marginals: the two-stage estimator's GLOBAL exact
+    pose sigmas ride SlamResult + dumps (beyond the reference, which only
+    computes per-LC mini-graph marginals)."""
+    import dataclasses
+
+    from diasss_tpu.config import PoseGraphConfig
+
+    frames = [
+        build_keyframe(l.img_id, l.image, l.dr_poses, l.altitudes,
+                       l.ground_ranges, l.annos)
+        for l in small_survey.lines
+    ]
+    cfg = dataclasses.replace(
+        PipelineConfig(),
+        pose_graph=dataclasses.replace(PoseGraphConfig(), marginals=True),
+    )
+    res = run_slam(frames, cfg, out_dir=str(tmp_path), run_eval2=False)
+    P = int(res.poses.t.shape[0])
+    assert res.pose_sigmas is not None and res.pose_sigmas.shape == (P, 6)
+    assert np.allclose(res.pose_sigmas[0], 0.0)
+    assert np.all(res.pose_sigmas[1:] >= 0)
+    assert "pose_marginals" in res.timings
+    assert (tmp_path / "est_pose_sigmas_all.txt").exists()

@@ -326,3 +326,67 @@ class TestCoarseInit:
         np.testing.assert_allclose(
             np.asarray(fine.t[::8]), np.asarray(chain.t[::8]), atol=1e-4
         )
+
+
+class TestPoseGraphMarginals:
+    def test_exact_vs_dense_inverse(self):
+        """pg_pose_marginals (Takahashi + LC Woodbury, round 5) must equal
+        the pose blocks of the dense inverse of the gauge-fixed GN Hessian
+        assembled from the same linearization."""
+        import dataclasses
+
+        from diasss_tpu.geometry import se3 as _se3
+        from diasss_tpu.solvers.pose_graph import (
+            _build_normal_terms,
+            pg_pose_marginals,
+        )
+
+        rng = np.random.default_rng(9)
+        n = 60
+        rows = np.zeros((n, 6))
+        rows[:, 3] = np.arange(n) * 0.5
+        rows[:, 4] = 0.05 * rng.normal(size=n)
+        gt = _se3.from_rodrigues_xyz(jnp.asarray(rows, jnp.float32))
+        lc_i = np.arange(2, n - 25, 7, dtype=np.int32)
+        lc_j = (lc_i + 20).astype(np.int32)
+        meas = _se3.between(gt[jnp.asarray(lc_i)], gt[jnp.asarray(lc_j)])
+        g = build_chain_graph(
+            [rows], lc_i=lc_i, lc_j=lc_j, lc_meas=meas,
+            lc_sigmas=np.full((len(lc_i), 6), 0.05, np.float32),
+            lc_valid=np.ones(len(lc_i), bool),
+            noise_key=jax.random.PRNGKey(2),
+        )
+        poses, _ = solve_pose_graph(g, PoseGraphConfig(max_gn_iters=15))
+        cov = np.asarray(pg_pose_marginals(g, poses))
+        P = n
+        assert cov.shape == (P, 6, 6)
+        assert np.allclose(cov[0], 0.0)
+
+        # dense reference from the SAME whitened Jacobians
+        idx_i, idx_j, _, Ji, Jj = _build_normal_terms(poses, g)
+        Ji, Jj = np.asarray(Ji, np.float64), np.asarray(Jj, np.float64)
+        ii, jj = np.asarray(idx_i), np.asarray(idx_j)
+        H = np.zeros((6 * P, 6 * P))
+        for f in range(len(ii)):
+            a = slice(6 * ii[f], 6 * ii[f] + 6)
+            b = slice(6 * jj[f], 6 * jj[f] + 6)
+            H[a, a] += Ji[f].T @ Ji[f]
+            H[b, b] += Jj[f].T @ Jj[f]
+            H[a, b] += Ji[f].T @ Jj[f]
+            H[b, a] += Jj[f].T @ Ji[f]
+        H[:6, :] = 0.0
+        H[:, :6] = 0.0
+        H[:6, :6] = np.eye(6)
+        for p in range(P):
+            H[6 * p : 6 * p + 6, 6 * p : 6 * p + 6] += 1e-6 * np.eye(6)
+        Hinv = np.linalg.inv(H)
+        ref = np.stack([Hinv[6 * p : 6 * p + 6, 6 * p : 6 * p + 6]
+                        for p in range(P)])
+        ref[0] = 0.0
+        scale = np.abs(ref).max()
+        assert np.abs(cov - ref).max() < 1e-3 * scale, (
+            np.abs(cov - ref).max(), scale)
+        # loop closures must REDUCE uncertainty vs the chain alone
+        g_nolc = g._replace(lc_valid=jnp.zeros_like(g.lc_valid))
+        cov_nolc = np.asarray(pg_pose_marginals(g_nolc, poses))
+        assert (np.trace(cov_nolc[-1]) > np.trace(cov[-1]))
