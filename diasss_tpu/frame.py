@@ -108,6 +108,62 @@ def filtered_mask(raw: jnp.ndarray, cfg: MaskConfig = MaskConfig()) -> jnp.ndarr
     return ~(dilated | center | turn | sides)
 
 
+def _memo_batch(fn):
+    """Thunk memoizer: the wrapped fn runs at most once; every lazy view of
+    the batch shares the one result."""
+    cell = []
+
+    def get():
+        if not cell:
+            cell.append(fn())
+        return cell[0]
+
+    get.cell = cell  # exposes computed-yet state (_LazyHostImagery.computed)
+    return get
+
+
+class _LazyHostImagery:
+    """One frame's host-resident norm/mask, computed on FIRST USE.
+
+    ``host_imagery=True`` callers (annotation-driven pipelines — the
+    reference default) never read imagery in any program, so the host
+    normalize/mask work (~0.23 s at the 12k bench point, PERF round 5) is
+    deferred until a consumer (detection, dense matching, mosaic, viz)
+    converts one via ``np.asarray`` / ``np.stack`` / a jnp op — all of which
+    route through ``__array__``.  The underlying batch computes ONCE and is
+    shared by every frame's view."""
+
+    __slots__ = ("_get", "_idx", "shape", "dtype", "ndim")
+
+    def __init__(self, get, idx, shape, dtype):
+        self._get = get
+        self._idx = idx
+        self.shape = shape
+        self.dtype = np.dtype(dtype)
+        self.ndim = len(shape)
+
+    def __array__(self, dtype=None, copy=None):
+        a = np.asarray(self._get()[self._idx])
+        return a if dtype is None else a.astype(dtype, copy=False)
+
+    def __getitem__(self, key):
+        return self.__array__()[key]
+
+    def __jax_array__(self):
+        # jnp ops (stack, jit-arg conversion) accept the lazy view directly
+        return jnp.asarray(self.__array__())
+
+    def __getattr__(self, name):
+        # any other ndarray attribute/method (.astype, .reshape, ...)
+        # materializes the view and delegates
+        return getattr(self.__array__(), name)
+
+    @property
+    def computed(self) -> bool:
+        """Whether any view of the shared batch has been materialized yet."""
+        return bool(self._get.cell)
+
+
 def build_keyframe(
     img_id: int,
     raw: np.ndarray,
@@ -136,13 +192,17 @@ def build_keyframe(
     if host_preprocess:
         raw_np = np.asarray(raw)[None]
         n, m = raw_np.shape[1], raw_np.shape[2]
-        norm_np = _normalize_sss_np(raw_np, norm_cfg)[0]
-        mask_np = _filtered_mask_np(raw_np, mask_cfg)[0]
         if host_imagery:
-            norm, mask = norm_np, mask_np  # host-resident (lazy upload)
+            # host-resident AND lazy (see build_keyframes_batch)
+            norm = _LazyHostImagery(
+                _memo_batch(lambda: _normalize_sss_np(raw_np, norm_cfg)), 0,
+                (n, m), np.uint8)
+            mask = _LazyHostImagery(
+                _memo_batch(lambda: _filtered_mask_np(raw_np, mask_cfg)), 0,
+                (n, m), np.bool_)
         else:
-            norm = jnp.asarray(norm_np)
-            packed = np.packbits(mask_np.reshape(1, -1), axis=1)
+            norm = jnp.asarray(_normalize_sss_np(raw_np, norm_cfg)[0])
+            packed = np.packbits(_filtered_mask_np(raw_np, mask_cfg)[0].reshape(1, -1), axis=1)
             mask = _unpack_mask(jnp.asarray(packed), n, m)[0]
         geo = _geo_batch(poses_j[None], grs_j[None], m)[0]
         raw_j = np.asarray(raw, np.float32)  # host-resident (see Keyframe.raw)
@@ -339,11 +399,19 @@ def build_keyframes_batch(
     raws_np = np.stack([it[1] for it in items])
     if host_preprocess:
         f, n, m = raws_np.shape[0], raws_np.shape[1], raws_np.shape[2]
-        norms_np = _normalize_sss_np(raws_np, norm_cfg)
-        masks_np = _filtered_mask_np(raws_np, mask_cfg)
         if host_imagery:
-            norms, masks = norms_np, masks_np  # host-resident (lazy upload)
+            # host-resident AND lazy: annotation-driven pipelines never read
+            # norm/mask, so the host normalize/mask work (~0.23 s at the 12k
+            # bench point — PERF round 5) is deferred until a consumer
+            # actually converts one; the batch computes ONCE, shared by all
+            # frames' views
+            norm_get = _memo_batch(lambda: _normalize_sss_np(raws_np, norm_cfg))
+            mask_get = _memo_batch(lambda: _filtered_mask_np(raws_np, mask_cfg))
+            norms = [_LazyHostImagery(norm_get, k, (n, m), np.uint8) for k in range(f)]
+            masks = [_LazyHostImagery(mask_get, k, (n, m), np.bool_) for k in range(f)]
         else:
+            norms_np = _normalize_sss_np(raws_np, norm_cfg)
+            masks_np = _filtered_mask_np(raws_np, mask_cfg)
             packed = np.packbits(masks_np.reshape(f, -1), axis=1)
             norms = jnp.asarray(norms_np)
             masks = _unpack_mask(jnp.asarray(packed), n, m)

@@ -32,6 +32,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import FullBAConfig
 from ..factors.between import between_residual
@@ -660,6 +661,47 @@ def solve_full_ba(prob: BAProblem, cfg: FullBAConfig, kp_cfg, lam0=None,
                               cg_iters_total=cg_total, lam=lam_f, stall=stall_f)
 
 
+@jax.jit
+def _geo_endpoint_kernel(geo_stack, fs, ps, bs, ft, pt, bt):
+    return geo_stack[fs, ps, bs], geo_stack[ft, pt, bt]
+
+
+def _gather_geo_endpoints(frames, fs, ping_s, bin_s, ft, ping_t, bin_t):
+    """(K, 2) world-xy geo endpoints of each correspondence, source + target.
+
+    When every frame's geo raster is a device array of one shape the gather
+    runs ON DEVICE (one stacked program, indices padded to a 128 bucket so
+    re-match rounds with shifting K reuse the compiled program) and only the
+    two (K, 2) endpoint row sets are fetched.  Mixed shapes or host-resident
+    geo fall back to a host-side numpy gather (same values either way — the
+    device path reads the identical f32 raster elements)."""
+    geos = [f.geo for f in frames]
+    shapes = {tuple(np.shape(g)) for g in geos}
+    if len(shapes) == 1 and all(isinstance(g, jax.Array) for g in geos):
+        K = len(fs)
+        kpad = max(128, -(-K // 128) * 128)
+
+        def pad(a):
+            a = a.astype(np.int32)
+            return np.concatenate([a, np.zeros(kpad - K, np.int32)]) if kpad > K else a
+
+        g1, g2 = jax.device_get(
+            _geo_endpoint_kernel(
+                jnp.stack(geos),
+                *(jnp.asarray(pad(a)) for a in (fs, ping_s, bin_s, ft, ping_t, bin_t)),
+            )
+        )
+        return g1[:K], g2[:K]
+    out = []
+    for f_idx, pings, bins in ((fs, ping_s, bin_s), (ft, ping_t, bin_t)):
+        g = np.zeros((len(f_idx), 2), np.float32)
+        for k in np.unique(f_idx):
+            m = f_idx == k
+            g[m] = np.asarray(geos[k])[pings[m], bins[m]]
+        out.append(g)
+    return tuple(out)
+
+
 def build_ba_problem(
     frames,
     kps_pairs: dict,
@@ -683,52 +725,51 @@ def build_ba_problem(
     from ..pipeline import _fetch_frame_arrays_host
 
     involved = sorted({k for ij in pair_ids for k in ij} | set(range(len(frames))))
-    dr_h, geo_h, alts_h = _fetch_frame_arrays_host(
-        frames, involved, attrs=("dr_poses", "geo", "altitudes")
+    dr_h, alts_h = _fetch_frame_arrays_host(
+        frames, involved, attrs=("dr_poses", "altitudes")
     )
     dr_rows = [dr_h[k] for k in range(len(frames))]
     offsets = np.cumsum([0] + [r.shape[0] for r in dr_rows])
 
-    kp_i, kp_j, sr_s, sr_t, lm0 = [], [], [], [], []
+    # concatenated per-correspondence index rows (host numpy, ~K elements)
+    fs_l, ft_l, cols_l = [], [], []
     for (i, j) in pair_ids:
         kp = kps_pairs[(i, j)]
         rows = kp.pairs[kp.valid]
         if not len(rows):
             continue
+        fs_l.append(np.full(len(rows), i, np.int64))
+        ft_l.append(np.full(len(rows), j, np.int64))
+        cols_l.append(rows)
+
+    if fs_l:
+        fs = np.concatenate(fs_l)
+        ft = np.concatenate(ft_l)
+        rows = np.concatenate(cols_l)
         ping_s = rows[:, 0].astype(np.int64)
         bin_s = rows[:, 1].astype(np.int64)
         ping_t = rows[:, 3].astype(np.int64)
         bin_t = rows[:, 4].astype(np.int64)
-        kp_i.append(offsets[i] + ping_s)
-        kp_j.append(offsets[j] + ping_t)
-        sr_s.append(rows[:, 2])
-        sr_t.append(rows[:, 5])
-        geo_s = geo_h[i]
-        geo_t = geo_h[j]
-        alts_s = alts_h[i]
-        alts_t = alts_h[j]
-        g1 = geo_s[ping_s, bin_s]
-        g2 = geo_t[ping_t, bin_t]
+        sr_s = rows[:, 2]
+        sr_t = rows[:, 5]
+        # geo ENDPOINT gather on device: only the (K, 2) gathered rows cross
+        # the host link (one fetch) — fetching every full geo raster cost
+        # ~6.5 MB per solve round at the auto bench point and ~17 MB at the
+        # flagship full-BA point through the tunneled link (PERF.md round 5)
+        g1, g2 = _gather_geo_endpoints(frames, fs, ping_s, bin_s, ft, ping_t, bin_t)
+        kp_i = offsets[fs] + ping_s
+        kp_j = offsets[ft] + ping_t
         if ba_cfg.max_geo_discrepancy > 0:
             keep = np.linalg.norm(g1 - g2, axis=1) <= ba_cfg.max_geo_discrepancy
-            kp_i[-1] = kp_i[-1][keep]
-            kp_j[-1] = kp_j[-1][keep]
-            sr_s[-1] = sr_s[-1][keep]
-            sr_t[-1] = sr_t[-1][keep]
-            ping_s, ping_t = ping_s[keep], ping_t[keep]
+            kp_i, kp_j = kp_i[keep], kp_j[keep]
+            sr_s, sr_t = sr_s[keep], sr_t[keep]
             g1, g2 = g1[keep], g2[keep]
+        dr_all = np.concatenate(dr_rows)
+        alt_all = np.concatenate([alts_h[k] for k in range(len(frames))])
         z = 0.5 * (
-            (dr_rows[i][ping_s, 5] - alts_s[ping_s])
-            + (dr_rows[j][ping_t, 5] - alts_t[ping_t])
+            (dr_all[kp_i, 5] - alt_all[kp_i]) + (dr_all[kp_j, 5] - alt_all[kp_j])
         )
-        lm0.append(np.concatenate([0.5 * (g1 + g2), z[:, None]], axis=1))
-
-    if kp_i:
-        kp_i = np.concatenate(kp_i)
-        kp_j = np.concatenate(kp_j)
-        sr_s = np.concatenate(sr_s)
-        sr_t = np.concatenate(sr_t)
-        lm0 = np.concatenate(lm0)
+        lm0 = np.concatenate([0.5 * (g1 + g2), z[:, None]], axis=1)
         valid = np.ones(len(kp_i), bool)
     else:
         kp_i = np.zeros(1, np.int64)

@@ -411,12 +411,11 @@ def test_host_imagery_annotation_parity_and_lazy_upload(small_survey):
     dev = build_keyframes_batch(items, host_preprocess=True)
     host = build_keyframes_batch(items, host_preprocess=True, host_imagery=True)
     for h in host:
-        assert isinstance(h.norm, np.ndarray) and not isinstance(h.norm, jax.Array)
-        assert isinstance(h.mask, np.ndarray) and not isinstance(h.mask, jax.Array)
+        # round 5: host imagery is also LAZY — nothing is computed until a
+        # consumer converts it (np.asarray / np.stack / jnp op)
+        assert not isinstance(h.norm, jax.Array) and not h.norm.computed
+        assert not isinstance(h.mask, jax.Array) and not h.mask.computed
         assert isinstance(h.geo, jax.Array)  # geo IS read by device programs
-    for d, h in zip(dev, host):
-        np.testing.assert_array_equal(np.asarray(d.norm), h.norm)
-        np.testing.assert_array_equal(np.asarray(d.mask), h.mask)
 
     gt = [l.gt_poses for l in small_survey.lines]
     r_dev = run_slam(dev, PipelineConfig(), gt_rows_list=gt, run_eval2=False)
@@ -425,6 +424,16 @@ def test_host_imagery_annotation_parity_and_lazy_upload(small_survey):
         np.asarray(r_dev.poses.t), np.asarray(r_host.poses.t)
     )
     assert r_dev.ate_est == r_host.ate_est
+    # the annotation pipeline end-to-end never touched imagery: the host
+    # normalize/mask work was SKIPPED, not just kept off-device
+    for h in host:
+        assert not h.norm.computed and not h.mask.computed
+
+    # materializing on first use matches the eager device path exactly
+    for d, h in zip(dev, host):
+        np.testing.assert_array_equal(np.asarray(d.norm), np.asarray(h.norm))
+        np.testing.assert_array_equal(np.asarray(d.mask), np.asarray(h.mask))
+    assert host[0].norm.computed
 
     # detected + dense path on host imagery: lazy upload, still solves
     cfg = dataclasses.replace(
