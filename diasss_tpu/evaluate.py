@@ -194,6 +194,32 @@ def trajectory_ate(est: se3.Pose3, gt_rows: np.ndarray) -> float:
     return float(_ate_device(est.t, jnp.asarray(gt_rows, jnp.float32)))
 
 
+@jax.jit
+def _ate_pair_device(dr_t, est_t, gt_rows):
+    gt = se3.from_rodrigues_xyz(gt_rows)
+
+    def rmse(t):
+        d = t - gt.t
+        return jnp.sqrt(jnp.mean(jnp.sum(d * d, axis=1)))
+
+    return rmse(dr_t), rmse(est_t)
+
+
+def trajectory_ate_pair(dr_t: jnp.ndarray, est: se3.Pose3,
+                        gt_rows: np.ndarray) -> tuple:
+    """``(ate_dr, ate_est)`` in ONE device program and ONE fetch.
+
+    The previous form cost three tunnel round trips per run: a full DR-rows
+    device->host fetch, then one scalar fetch per :func:`trajectory_ate`
+    call (pipeline evaluation stage, ~0.15 s at the 3k bench point —
+    PERF round 5).  ``dr_t`` is the (P, 3) DR translation column, taken
+    directly from the device-resident ``Keyframe.dr_poses`` rows."""
+    a, b = jax.device_get(
+        _ate_pair_device(dr_t, est.t, jnp.asarray(gt_rows, jnp.float32))
+    )
+    return float(a), float(b)
+
+
 def eval_landmark_consistency_stacked(
     pairs_cat: np.ndarray,  # (K, 7) concatenated valid rows of all frame pairs
     src_frame: np.ndarray,  # (K,) source frame index per row

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import PipelineConfig
-from .evaluate import Eval1Result, Eval2Result, eval_landmark_consistency, eval_triangulated_consistency, trajectory_ate
+from .evaluate import Eval1Result, Eval2Result, eval_landmark_consistency, eval_triangulated_consistency
 from .frame import Keyframe
 from .geometry import se3
 from .pairs import KpsPairs, get_kps_pairs
@@ -861,8 +861,6 @@ def run_slam(
     t0 = time.perf_counter()
     offsets = np.cumsum([0] + [int(f.dr_poses.shape[0]) for f in frames])
     frame_slices = [slice(int(offsets[k]), int(offsets[k + 1])) for k in range(len(frames))]
-    (dr_h,) = _fetch_frame_arrays_host(frames, range(len(frames)), attrs=("dr_poses",))
-    dr_rows = [dr_h[k] for k in range(len(frames))]
 
     eval1, eval2 = _evaluate_pairs(
         frames, kps_pairs, pair_ids, poses, frame_slices, offsets, cfg, run_eval2,
@@ -870,19 +868,22 @@ def run_slam(
     )
     ate_dr = ate_est = None
     if gt_rows_list is not None:
+        from .evaluate import trajectory_ate_pair
+
         gt_all = np.concatenate(gt_rows_list, axis=0)
-        # one jitted program (op-by-op Rodrigues costs a dispatch per op)
-        dr_all = _from_rodrigues_jit(
-            jnp.asarray(np.concatenate(dr_rows), jnp.float32)
-        )
-        ate_dr = trajectory_ate(dr_all, gt_all)
-        ate_est = trajectory_ate(poses, gt_all)
+        # both ATEs in ONE program + ONE (blocking) scalar fetch; the DR
+        # translations come straight off the device-resident dr_poses rows
+        # (the full DR fetch + two per-call fetches cost ~3 round trips)
+        dr_t = jnp.concatenate([jnp.asarray(f.dr_poses)[:, 3:6] for f in frames])
+        ate_dr, ate_est = trajectory_ate_pair(dr_t, poses, gt_all)
     timings["evaluation"] = time.perf_counter() - t0
 
     # --- trajectory dumps (C17) + reference text artifacts (SURVEY §5) ---
     if out_dir is not None:
         from .trajectory import save_poses_quat, save_poses_rpy
 
+        (dr_h,) = _fetch_frame_arrays_host(frames, range(len(frames)), attrs=("dr_poses",))
+        dr_rows = [dr_h[k] for k in range(len(frames))]
         dr_all = _from_rodrigues_jit(
             jnp.asarray(np.concatenate(dr_rows), jnp.float32)
         )
