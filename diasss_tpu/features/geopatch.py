@@ -130,9 +130,10 @@ def attach_geo_patch_descriptors_batch(feats_list, norm_list, geo_list, cfg):
             nm, ge, xy, half=cfg.geopatch_half, res=cfg.geopatch_res
         )
     )(
-        (jnp.asarray(np.stack(list(norm_list)))
-         if isinstance(norm_list[0], np.ndarray)  # host imagery: one upload
-         else jnp.stack(list(norm_list))),
+        (jnp.stack(list(norm_list))
+         if isinstance(norm_list[0], jax.Array)
+         # host imagery (eager ndarray or lazy view): one stacked upload
+         else jnp.asarray(np.stack([np.asarray(nm) for nm in norm_list]))),
         jnp.stack(list(geo_list)),
         jnp.stack([f.xy for f in feats_list]),
     )

@@ -619,10 +619,10 @@ def dense_matching_stacked(
         # fetches previously used for sizing cost ~0.7 s/round through the
         # tunnel — see _geo_bounds_batch)
         geo_st = jnp.stack(list(geo_list))
-        if isinstance(norm_list[0], np.ndarray):
-            # host-resident imagery (frame.host_imagery): ONE stacked upload
-            # instead of per-frame implicit transfers
-            norm_st = jnp.asarray(np.stack(list(norm_list)))
+        if not isinstance(norm_list[0], jax.Array):
+            # host-resident imagery (frame.host_imagery, eager ndarray or
+            # lazy view): ONE stacked upload instead of per-frame transfers
+            norm_st = jnp.asarray(np.stack([np.asarray(nm) for nm in norm_list]))
         else:
             norm_st = jnp.stack(list(norm_list))
         # keep f32: x0/y0 must be bit-identical to the per-pair path's
