@@ -114,3 +114,22 @@ class TestATE:
         poses = se3.from_rodrigues_xyz(jnp.asarray(rows, jnp.float32))
         shifted = se3.Pose3(poses.R, poses.t + jnp.asarray([3.0, 4.0, 0.0]))
         np.testing.assert_allclose(trajectory_ate(shifted, rows), 5.0, rtol=1e-5)
+
+
+class TestATEPair:
+    def test_matches_individual_calls(self, rng):
+        """trajectory_ate_pair (one program + one fetch — round-5
+        continuation) equals two trajectory_ate calls bit-for-bit."""
+        from diasss_tpu.evaluate import trajectory_ate_pair
+
+        gt = rng.normal(size=(30, 6)) * 0.2
+        dr_rows = gt + rng.normal(size=(30, 6)) * 0.05
+        est_rows = gt + rng.normal(size=(30, 6)) * 0.01
+        dr = se3.from_rodrigues_xyz(jnp.asarray(dr_rows, jnp.float32))
+        est = se3.from_rodrigues_xyz(jnp.asarray(est_rows, jnp.float32))
+        ate_dr, ate_est = trajectory_ate_pair(
+            jnp.asarray(dr_rows[:, 3:6], jnp.float32), est, gt
+        )
+        assert ate_dr == trajectory_ate(dr, gt)
+        assert ate_est == trajectory_ate(est, gt)
+        assert ate_est < ate_dr  # the tighter trajectory scores lower

@@ -325,3 +325,36 @@ def test_direct_step_k_cols_trimming_equivalent(tie_survey):
     assert abs(float(i_trim.error) - float(i_full.error)) < 1e-3 * max(
         float(i_full.error), 1.0
     )
+
+
+def test_gather_geo_endpoints_device_matches_host(rng):
+    """The device geo-endpoint gather (round-5 continuation: only (K, 2)
+    rows cross the host link instead of full geo rasters) returns exactly
+    the host-gather fallback's values, padding included."""
+    from collections import namedtuple
+
+    import jax.numpy as jnp
+
+    from diasss_tpu.solvers.full_ba import _gather_geo_endpoints
+
+    FG = namedtuple("FG", "geo")
+    F, N, M = 3, 24, 16
+    geos = rng.normal(size=(F, N, M, 2)).astype(np.float32)
+    K = 37  # deliberately not a multiple of the 128 bucket
+    fs = rng.integers(0, F, K).astype(np.int64)
+    ft = rng.integers(0, F, K).astype(np.int64)
+    ps = rng.integers(0, N, K).astype(np.int64)
+    pt = rng.integers(0, N, K).astype(np.int64)
+    bs = rng.integers(0, M, K).astype(np.int64)
+    bt = rng.integers(0, M, K).astype(np.int64)
+
+    dev_frames = [FG(jnp.asarray(g)) for g in geos]
+    host_frames = [FG(g) for g in geos]  # numpy geo -> host fallback
+    g1_d, g2_d = _gather_geo_endpoints(dev_frames, fs, ps, bs, ft, pt, bt)
+    g1_h, g2_h = _gather_geo_endpoints(host_frames, fs, ps, bs, ft, pt, bt)
+    assert g1_d.shape == (K, 2) and g2_d.shape == (K, 2)
+    np.testing.assert_array_equal(np.asarray(g1_d), g1_h)
+    np.testing.assert_array_equal(np.asarray(g2_d), g2_h)
+    # and both equal the direct raster read
+    np.testing.assert_array_equal(g1_h, geos[fs, ps, bs])
+    np.testing.assert_array_equal(g2_h, geos[ft, pt, bt])
