@@ -336,22 +336,48 @@ def _match_pairs_dense(frames, feats, geo_list, pair_ids, cfg: PipelineConfig,
     return corres_rows
 
 
+# fetched-array cache: the per-frame arrays these call sites read
+# (dr_poses, altitudes, ground_ranges) are immutable for a frame's lifetime,
+# but re-match rounds and the assembly/solve/dump call sites each re-fetched
+# them (~1 tunnel round trip per call).  Keyed by id() with a GC finalizer
+# evicting the entry, so a recycled id can never serve a stale value.
+_fetch_cache: Dict[int, np.ndarray] = {}
+
+
+def _fetch_cache_put(arr, val: np.ndarray) -> None:
+    key = id(arr)
+    _fetch_cache[key] = val
+    import weakref
+
+    weakref.finalize(arr, _fetch_cache.pop, key, None)
+
+
 def _fetch_frame_arrays_host(frames, idxs, attrs=("altitudes", "ground_ranges")):
     """Fetch per-frame device arrays to host in ONE stacked device dispatch
     (and one transfer) per distinct shape, instead of one per use site —
     through the axon tunnel each naive ``np.asarray`` costs a full round trip
     (measured: kps_pairs stage 1.07 s at the 12k-pose bench point, dominated
-    by these fetches).  Returns one ``{frame_idx: np.ndarray}`` per attr."""
+    by these fetches).  Repeat fetches of the SAME device array (re-match
+    rounds, multiple call sites) hit the host-side cache and cost nothing.
+    Returns one ``{frame_idx: np.ndarray}`` per attr."""
     outs = []
     for attr in attrs:
         out: Dict[int, np.ndarray] = {}
         by_shape: Dict[tuple, list] = {}
         for k in idxs:
-            by_shape.setdefault(tuple(getattr(frames[k], attr).shape), []).append(k)
+            a = getattr(frames[k], attr)
+            cached = _fetch_cache.get(id(a)) if isinstance(a, jax.Array) else None
+            if cached is not None:
+                out[k] = cached
+            else:
+                by_shape.setdefault(tuple(np.shape(a)), []).append(k)
         for ks in by_shape.values():
             stacked = np.asarray(jnp.stack([getattr(frames[k], attr) for k in ks]))
             for r, k in enumerate(ks):
                 out[k] = stacked[r]
+                a = getattr(frames[k], attr)
+                if isinstance(a, jax.Array):
+                    _fetch_cache_put(a, stacked[r])
         outs.append(out)
     return outs
 
